@@ -1,0 +1,140 @@
+package graft.spark
+
+import graft.canon.{CanonOptions, HndqCallLimitExceededException, Rdfc10}
+import graft.rdf.Quad
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One quad tagged with the graph (partition) key it belongs to.
+  * In the KG pipeline the key is the repo; for fixture I/O it is a
+  * document id.
+  */
+final case class KeyedQuad(
+    key: String,
+    sKind: Byte, s: String,
+    p: String,
+    oKind: Byte, o: String, oDt: String, oLang: String,
+    gKind: Byte, g: String
+) {
+  def quad: Quad = Quad(sKind, s, p, oKind, o, oDt, oLang, gKind, g)
+}
+
+object KeyedQuad {
+  def apply(key: String, q: Quad): KeyedQuad =
+    KeyedQuad(key, q.sKind, q.s, q.p, q.oKind, q.o, q.oDt, q.oLang, q.gKind, q.g)
+}
+
+/** Per-graph canonicalization outcome. `status` is "ok" or an error
+  * class name; a poisoned graph yields an error ROW, never a failed
+  * job (mirrors the reference's negative test #test074c semantics:
+  * the failure is data, reference `tests/manifest.jsonld:851-857`).
+  */
+final case class CanonResult(
+    key: String,
+    canonicalNQuads: String,
+    issuedMapJson: String,
+    status: String,
+    hndqCalls: Int,
+    quadCount: Long,
+    bnodeCount: Int,
+    outputSha256: String
+)
+
+/** Distributed RDFC-1.0: group quads by graph key, run the
+  * single-graph kernel partition-parallel.
+  *
+  * Why `groupByKey.flatMapGroups` and not a distributed formulation:
+  * HNDQ needs random access to the whole graph's mention sets and
+  * threads issuer state sequentially through every step, so the graph
+  * is the atomic unit of work; the parallelism axis is the number of
+  * graphs. The one shuffle here (hash exchange on `key`) is
+  * unavoidable and minimal: `select` down to exactly the quad columns
+  * BEFORE calling this (DeserializeToObject above the exchange blocks
+  * column pruning — SURVEY §4.2).
+  *
+  * Scale notes (100 TB): skew from mega-graphs is bounded by (a) the
+  * HNDQ call budget making per-graph cost near-linear in quads for
+  * non-adversarial graphs, and (b) AQE splitting oversized shuffle
+  * partitions; per-graph metrics (quadCount, hndqCalls) land in the
+  * output so stragglers are observable.
+  */
+object CanonEngine {
+
+  private val HEXL = "0123456789abcdef".toCharArray
+
+  def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HEXL((d(i) >> 4) & 0xF); out(2 * i + 1) = HEXL(d(i) & 0xF); i += 1
+    }
+    new String(out)
+  }
+
+  private def mapToJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + escape(k) + "\":\"" + escape(v) + "\""
+    }.mkString("{", ",", "}")
+
+  private def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Canonicalize one graph's quads (driver-side / in-task helper). */
+  def canonicalizeOne(key: String, quads: Seq[Quad],
+                      opts: CanonOptions): CanonResult =
+    try {
+      val res = Rdfc10.issue(quads, opts)
+      val doc = graft.rdf.NQuadsWriter.serializeDocument(
+        Rdfc10.relabel(res.dedupedQuads, res.issuedMap))
+      CanonResult(key, doc, mapToJson(res.issuedMap), "ok", res.hndqCalls,
+        res.dedupedQuads.size, res.issuedMap.size, sha256Hex(doc))
+    } catch {
+      case e: HndqCallLimitExceededException =>
+        CanonResult(key, "", "{}", s"HndqCallLimitExceeded(${e.limit})", -1,
+          quads.size, -1, "")
+      case e: graft.canon.CanonException =>
+        CanonResult(key, "", "{}", e.getClass.getSimpleName, -1, quads.size, -1, "")
+    }
+
+  /** The distributed operator. */
+  def canonicalizePerGraph(
+      quads: Dataset[KeyedQuad],
+      opts: CanonOptions = CanonOptions.default
+  ): Dataset[CanonResult] = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val limit = opts.hndqCallLimit
+    val alg = opts.hashAlgorithm
+    quads
+      .groupByKey(_.key)
+      .flatMapGroups { (key: String, it: Iterator[KeyedQuad]) =>
+        val o = CanonOptions(limit, alg)
+        Iterator.single(canonicalizeOne(key, it.map(_.quad).toVector, o))
+      }
+  }
+
+  /** Fixture-shaped source: parse an N-Quads document string per key.
+    * (Reference parses via oxttl in its test runner, `src/lib.rs:116-119`.) */
+  def parseDocuments(docs: Dataset[(String, String)]): Dataset[KeyedQuad] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (key, text) =>
+      graft.rdf.NQuadsParser.parseDocument(text).map(q => KeyedQuad(key, q))
+    }
+  }
+
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft-canon")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
