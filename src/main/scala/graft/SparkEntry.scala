@@ -1,13 +1,338 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, DocKg, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB oracle for every SQL-expressible one.
+  * Column names are aliased identically on both sides; doubles are
+  * reduced to exact integers (floor / round-to-cents) before
+  * aggregation so Spark and DuckDB hash identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: per-source RDFC-1.0 canonicalization of a document KG
+    * built from the provided `documents` table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DocKg.canonicalize(t(spark, "/root/testdata/sf0.001", "documents")).toDF()
+
+  private val StopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / filters / projections -------------------------------
+    "q01_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("long").as("qty_i"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // --- aggregation (TPC-H Q1 shape, exact integer cents) -----------
+    "q02_agg_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- broadcast join + agg ----------------------------------------
+    "q03_join_segment" -> ((s, d) =>
+      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .orderBy("c_mktsegment")),
+
+    // --- multi-way star join ------------------------------------------
+    "q04_star_join" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+        .orderBy("r_name")),
+
+    // --- window functions ----------------------------------------------
+    "q05_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // --- anti / semi joins ----------------------------------------------
+    "q06_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")),
+    "q07_semi_join" -> ((s, d) =>
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey").orderBy("p_partkey")),
+
+    // --- set operations ---------------------------------------------------
+    "q08_setops" -> ((s, d) => {
+      val custN = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val suppN = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      custN.distinct().except(suppN.distinct()).orderBy("nk")
+    }),
+
+    // --- top-k -------------------------------------------------------------
+    "q09_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey")),
+
+    // --- grouping sets / rollup ---------------------------------------------
+    "q10_rollup" -> ((s, d) =>
+      t(s, d, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+
+    // --- exact dedup ----------------------------------------------------------
+    "q11_exact_dedup" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"))
+        .select("content_key", "survivor_id", "dup_count")
+        .orderBy("content_key")),
+
+    // --- text analysis ----------------------------------------------------------
+    "q12_token_counts" -> ((s, d) =>
+      TextOps.withTokenCounts(t(s, d, "documents"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_ws_tokens"), col("n_bpe_tokens"))
+        .orderBy("doc_id")),
+    "q13_quality_signals" -> ((s, d) =>
+      TextOps.withQualitySignals(t(s, d, "documents"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens"), col("n_stopwords"), col("n_punct"), col("n_upper"))
+        .orderBy("doc_id")),
+    "q14_fingerprint" -> ((s, d) =>
+      TextOps.withFingerprints(t(s, d, "documents"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("fp_md5"))
+        .orderBy("doc_id")),
+    "q15_lang_scores" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val scores = TextOps.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+        size(filter(toks, t => t.isInCollection(ms.toSeq))).as(s"s_$lang")
+      }
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id") +: scores: _*)
+        .orderBy("doc_id")
+    }),
+    "q16_langid_pred" -> ((s, d) =>
+      TextOps.withLangId(t(s, d, "documents"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang_pred"))
+        .orderBy("doc_id")),
+
+    // --- events: aggregation + sessionization ------------------------------------
+    "q17_events_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+    "q18_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      t(s, d, "events")
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp"))) // NTZ->UTC, exact micros
+        .withColumn("gap", col("tsu") - lag(col("tsu"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 600L * 1000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // --- near-dup dedup family (rows-only checks: not ANSI-SQL shape) -------------
+    "q19_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "q20_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+    "q21_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // --- similarity search ----------------------------------------------------------
+    "q22_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+        t(s, d, "embeddings").where(col("vec_id") < 300), k = 5)
+        .select(col("id_a"), col("id_b"), col("rank"))
+        .orderBy("id_a", "rank")),
+    "q23_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      Similarity.annTopK(e, dim, k = 5)
+        .select(col("id_a"), col("id_b"), col("rank"))
+        .orderBy("id_a", "rank")
+    }),
+
+    // --- multimodal plumbing ----------------------------------------------------------
+    "q24_multimodal" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 2000))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          size(col("sampled_frames")).as("n_frames"))
+        .orderBy("media_id")
+    }),
+
+    // --- canonicalization over external data -------------------------------------------
+    "q25_dockg_canon" -> ((s, d) =>
+      DocKg.canonicalize(t(s, d, "documents"))
+        .toDF()
+        .select("key", "status", "quadCount", "bnodeCount", "outputSha256")
+        .orderBy("key")),
+
+    // --- KG pipeline stage ops on the synthetic corpus -----------------------------------
+    "q26_kg_mentions" -> ((s, d) => {
+      import s.implicits._
+      val cfg = graft.pipeline.Corpus.Config(nRepos = 8, baseFilesPerRepo = 6)
+      val dict = s.sparkContext.broadcast(
+        (0 until cfg.nEntities).map(graft.pipeline.Corpus.entityName).toSet)
+      graft.pipeline.Kg.detectMentions(
+          graft.pipeline.Corpus.generate(s, cfg), dict)
+        .toDF().orderBy("repo", "path", "offset")
+    }),
+    "q27_kg_canon" -> ((s, d) => {
+      import s.implicits._
+      val cfg = graft.pipeline.Corpus.Config(nRepos = 8, baseFilesPerRepo = 6)
+      val dictNames = (0 until cfg.nEntities).map(graft.pipeline.Corpus.entityName)
+      val dict = s.sparkContext.broadcast(dictNames.toSet)
+      val files = graft.pipeline.Corpus.generate(s, cfg)
+      val mentions = graft.pipeline.Kg.detectMentions(files, dict)
+      val linked = graft.pipeline.Kg.linkMentions(mentions, dictNames.toDF("name"))
+      val aliases = graft.pipeline.Kg.detectAliases(files)
+      val cc = graft.pipeline.Kg.connectedComponents(dictNames.toDF("name"), aliases)
+      val triples = graft.pipeline.Kg.dedupTriples(
+        graft.pipeline.Kg.emitTriples(linked, cc))
+      graft.pipeline.Kg.canonicalizeTriples(triples)
+        .toDF().select("key", "status", "quadCount", "outputSha256")
+        .orderBy("key")
+    })
+  )
+
+  /** DuckDB oracles. Omitted keys → driver does a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT) AS qty_i
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_segment" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_star_join" ->
+      """SELECT r_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_semi_join" ->
+      """SELECT p_partkey FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q08_setops" ->
+      """SELECT nk FROM (
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |ORDER BY nk""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    "q11_exact_dedup" ->
+      """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_key,
+        |  MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+    "q12_token_counts" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  len(regexp_split_to_array(text, ' +')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q13_quality_signals" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  len(regexp_split_to_array(text, ' +')) AS n_tokens,
+         |  len(list_filter(regexp_split_to_array(text, ' +'),
+         |      x -> x IN ($StopList))) AS n_stopwords,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_lang_scores" -> {
+      val cols = TextOps.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+        val list = ms.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(regexp_split_to_array(text, ' +'), x -> x IN ($list))) AS s_$lang"
+      }.mkString(",\n  ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  $cols
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q17_events_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      IS NULL OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 600000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
 }

@@ -87,12 +87,16 @@ object Kg {
     * `vertices`, canonical = lexicographic min of its component.
     */
   def connectedComponents(vertices: DataFrame, edges: Dataset[AliasEdge],
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, numPartitions: Int = 1): DataFrame = {
     val spark = vertices.sparkSession
-    // undirected: both directions
+    // The alias-edge set is dictionary-sized (orders of magnitude
+    // smaller than the corpus): run the fixpoint on few partitions so
+    // each tiny iteration is one task, not shuffle.partitions tasks.
+    // At larger edge scales pass numPartitions ~ |edges| / 1e6.
     val sym = edges.toDF("a", "b")
       .union(edges.toDF().select(col("dst").as("a"), col("src").as("b")))
       .dropDuplicates("a", "b")
+      .coalesce(numPartitions)
       .localCheckpoint()
     var labels = vertices.select(col("name").as("id"), col("name").as("label"))
     var iter = 0
@@ -102,6 +106,7 @@ object Kg {
         .join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("label"))
       val next = labels.union(candidates)
+        .repartition(numPartitions, col("id"))
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
       val changed = next.alias("n")
