@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val d = docs(
+      (1L, "hello   world"), (2L, "Hello World"), (3L, "hello world"),
+      (4L, "something else"))
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 2)
+    val big = out.find(_.getAs[Long]("dup_count") == 3).get
+    assert(big.getAs[Long]("survivor_id") == 1L)
+  }
+
+  test("minhash LSH finds near-duplicates and skips distant pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val near = base.replace("yard", "park")
+    val far = "completely different content about spark query planning and shuffles"
+    val out = Dedup.minhashLshPairs(
+      docs((1L, base), (2L, near), (3L, far)), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard agrees with direct shingle-set computation") {
+    val a = "abcdefghij"
+    val b = "abcdefghiX"
+    val d = docs((1L, a), (2L, b))
+    val got = Dedup.ngramJaccardPairs(d, threshold = 0.0, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1)
+    def sh(s: String) = s.sliding(5).toSet
+    val expect = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+    assert(math.abs(got.head._3 - expect) < 1e-9)
+  }
+
+  test("simhash: identical docs distance 0; near-identical collide") {
+    val base = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra" // 64 shared tokens + 1
+    val far = (1 to 64).map(i => s"other$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, near), (4L, far))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"identical docs: ${pairs.toSeq}")
+    assert(pairs.contains((1L, 3L)), s"near docs should pair: ${pairs.toSeq}")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L), "far doc must not pair")
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(1L) == 4L) // identical vector wins
+    assert(top1(4L) == 1L)
+    assert(top1(2L) == 1L || top1(2L) == 4L)
+  }
+
+  test("ANN recall vs brute force on clustered vectors") {
+    import spark.implicits._
+    // two tight clusters; ANN must recover in-cluster neighbors
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      (i.toLong, base.map(v => v + rnd.nextFloat() * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(df, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(df, dim = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    assert(recall > 0.8, s"ANN recall $recall")
+  }
+
+  test("token counts, quality signals, fingerprints, lang-id") {
+    val d = docs((1L, "The quick brown fox, it jumps!"), (2L, "el la los con que si"))
+    val tc = TextOps.withTokenCounts(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tokens")).toMap
+    assert(tc(1L) == 6)
+    val q = TextOps.withQualitySignals(d).where(col("doc_id") === 1).head()
+    assert(q.getAs[Int]("n_punct") == 2)
+    assert(q.getAs[Int]("n_stopwords") == 1) // "it" ("The" is capitalized)
+    val fp = TextOps.withFingerprints(d).collect()
+    assert(fp.forall(_.getAs[String]("fp_md5").length == 32))
+    val lang = TextOps.withLangId(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(lang(2L) == "es")
+  }
+
+  test("multimodal plumbing: schema, determinism, frame sampling") {
+    val media = Multimodal.syntheticMedia(spark, 50)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 50))
+      .collect().sortBy(_.media_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.features.length == 8))
+    f1.filter(_.kind == "video").foreach(v => assert(v.sampled_frames.length == 4))
+    f1.filter(_.kind != "video").foreach(v => assert(v.sampled_frames.isEmpty))
+  }
+
+  test("doc-kg canonicalization is deterministic and all-ok") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "src0", "en", 10L), (2L, "src0", "de", 20L),
+      (3L, "src1", "es", 30L), (4L, "src1", "fr", 5L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val r1 = DocKg.canonicalize(d).collect().map(r => r.key -> r.outputSha256).toMap
+    val r2 = DocKg.canonicalize(d).collect().map(r => r.key -> r.outputSha256).toMap
+    assert(r1 == r2 && r1.size == 2)
+  }
+}

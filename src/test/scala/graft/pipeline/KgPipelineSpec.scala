@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class KgPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val cfg = Corpus.Config(nRepos = 6, baseFilesPerRepo = 4, nEntities = 32)
+
+  test("corpus generation is deterministic and skewed") {
+    val a = Corpus.generate(spark, cfg).collect().sortBy(f => (f.repo, f.path))
+    val b = Corpus.generate(spark, cfg).collect().sortBy(f => (f.repo, f.path))
+    assert(a.toSeq == b.toSeq)
+    val byRepo = a.groupBy(_.repo).view.mapValues(_.length).toMap
+    assert(byRepo("repo0000") == cfg.baseFilesPerRepo * cfg.skewFactor)
+    assert(byRepo.size == cfg.nRepos)
+  }
+
+  test("content sha invariant holds under Spark's independent sha2") {
+    val df = Corpus.generate(spark, cfg).toDF()
+    assert(df.where(sha2(col("content"), 256) =!= col("content_sha")).count() == 0)
+  }
+
+  test("mention detection matches planted ground truth exactly (P=R=1)") {
+    import spark.implicits._
+    val dict = spark.sparkContext.broadcast(
+      (0 until cfg.nEntities).map(Corpus.entityName).toSet)
+    val got = Kg.detectMentions(Corpus.generate(spark, cfg), dict)
+      .collect().map(m => (m.repo, m.path, m.entity, m.offset)).toSet
+    val truth = Corpus.groundTruth(spark, cfg)
+      .collect().map(m => (m.repo, m.path, m.entity, m.offset)).toSet
+    assert(got == truth)
+  }
+
+  test("connected components merges alias groups to min label") {
+    import spark.implicits._
+    val vertices = Seq("A", "B", "C", "D", "E").toDF("name")
+    val edges = spark.createDataset(Seq(AliasEdge("B", "A"), AliasEdge("C", "B"),
+      AliasEdge("E", "D")))
+    val cc = Kg.connectedComponents(vertices, edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("A" -> "A", "B" -> "A", "C" -> "A", "D" -> "D", "E" -> "D"))
+  }
+
+  test("end-to-end pipeline: P/R = 1, all graphs ok, resume skips stages") {
+    val work = Files.createTempDirectory("kgtest").toString
+    val r1 = KgPipeline.run(spark, work, cfg)
+    assert(r1.precision == 1.0 && r1.recall == 1.0)
+    assert(r1.okGraphs == cfg.nRepos && r1.totalGraphs == cfg.nRepos)
+    assert(r1.stages.forall(!_.skipped))
+    // resume: everything cached
+    val r2 = KgPipeline.run(spark, work, cfg)
+    assert(r2.stages.forall(_.skipped))
+    assert(r2.okGraphs == r1.okGraphs)
+  }
+
+  test("canonical output is deterministic across independent work dirs") {
+    val w1 = Files.createTempDirectory("kgd1").toString
+    val w2 = Files.createTempDirectory("kgd2").toString
+    KgPipeline.run(spark, w1, cfg)
+    KgPipeline.run(spark, w2, cfg)
+    def shas(w: String) = spark.read.parquet(s"$w/canon")
+      .select("key", "outputSha256").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shas(w1) == shas(w2))
+  }
+}
