@@ -1,12 +1,13 @@
 package graft.pipeline
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 final case class Mention(repo: String, path: String, entity: String,
                          offset: Long, surface: String)
+final case class TripleRow(repo: String, subjKind: Byte, subj: String,
+                           pred: String, obj: String, objKind: Byte)
 final case class LinkedMention(repo: String, path: String, entity: String,
                                offset: Long, score: Double)
 final case class AliasEdge(src: String, dst: String)
@@ -78,25 +79,52 @@ object Kg {
       .as[LinkedMention]
   }
 
-  /** Connected components over alias edges: iterative DataFrame
-    * min-label propagation with per-iteration `localCheckpoint` to
-    * truncate lineage (SURVEY §2b / §7.4-6). The edge set (entity
-    * aliases) is orders of magnitude smaller than the corpus, so a
-    * handful of small shuffles; convergence detected by a changed-row
-    * count of 0. Returns (entity, canonical) for EVERY entity in
-    * `vertices`, canonical = lexicographic min of its component.
+  /** Connected components over alias edges, hybrid by edge count:
+    *
+    *  - edge sets under `smallThreshold` (the common case: the alias
+    *    graph is dictionary-sized, orders of magnitude smaller than
+    *    the corpus) run union-find on the driver and come back as a
+    *    broadcastable DataFrame — ZERO iterative Spark jobs, killing
+    *    the per-iteration scheduling latency that dominates small CC.
+    *  - larger sets use iterative DataFrame min-label propagation
+    *    with per-iteration `localCheckpoint` lineage truncation
+    *    (SURVEY §2b / §7.4-6), convergence = changed-count 0.
+    *
+    * Returns (entity, canonical) for EVERY vertex, canonical =
+    * lexicographic min of its component.
     */
   def connectedComponents(vertices: DataFrame, edges: Dataset[AliasEdge],
-                          maxIter: Int = 20, numPartitions: Int = 1): DataFrame = {
+                          maxIter: Int = 20,
+                          smallThreshold: Long = 500000L): DataFrame = {
     val spark = vertices.sparkSession
-    // The alias-edge set is dictionary-sized (orders of magnitude
-    // smaller than the corpus): run the fixpoint on few partitions so
-    // each tiny iteration is one task, not shuffle.partitions tasks.
-    // At larger edge scales pass numPartitions ~ |edges| / 1e6.
+    val edgeCount = edges.count()
+    if (edgeCount <= smallThreshold) {
+      val vs = vertices.select("name").collect().map(_.getString(0))
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def union(a: String, b: String): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // min label becomes the root so results match the
+          // distributed min-propagation exactly
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      edges.collect().foreach(e => union(e.src, e.dst))
+      val rows = vs.map(v => (v, find(v))).toSeq
+      import spark.implicits._
+      return rows.toDF("entity", "canonical")
+    }
+
     val sym = edges.toDF("a", "b")
       .union(edges.toDF().select(col("dst").as("a"), col("src").as("b")))
       .dropDuplicates("a", "b")
-      .coalesce(numPartitions)
       .localCheckpoint()
     var labels = vertices.select(col("name").as("id"), col("name").as("label"))
     var iter = 0
@@ -106,7 +134,6 @@ object Kg {
         .join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("label"))
       val next = labels.union(candidates)
-        .repartition(numPartitions, col("id"))
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
       val changed = next.alias("n")
@@ -120,60 +147,63 @@ object Kg {
     labels.select(col("id").as("entity"), col("label").as("canonical"))
   }
 
-  /** Triple emission: (repo, subj, pred, obj, objKind) rows.
+  /** Triple emission: (repo, subjKind, subj, pred, obj, objKind).
     *
     * Entities become BLANK NODES (bnode label = canonical entity name,
     * content-derived — deterministic under rerun) so per-repo RDFC-1.0
     * does real work; files/repos are IRIs; labels are literals.
-    * Co-occurrence edges come from a window `lead` over mention order
-    * within each file. objKind: 0=IRI 1=bnode 2=literal.
+    * objKind: 0=IRI 1=bnode 2=literal.
+    *
+    * Single-pass design: ONE shuffle groups mentions by (repo, path)
+    * with an in-group sort by offset, then a flatMap emits
+    * type/mentionedIn/label/coOccursWith/hasFile rows together. (A
+    * previous version used a window `lead` plus a 5-way union of
+    * projections — 5 recomputations of the upstream lineage and an
+    * extra shuffle; at 100 TB that is 5 corpus scans instead of 1.)
     */
   def emitTriples(linked: Dataset[LinkedMention], canonMap: DataFrame): DataFrame = {
     val spark = linked.sparkSession
+    import spark.implicits._
 
     val cm = canonMap.withColumnRenamed("entity", "ent_key")
     val m = linked.toDF()
       .join(broadcast(cm), col("entity") === col("ent_key"))
       .select(col("repo"), col("path"), col("canonical").as("ent"), col("offset"))
 
-    val fileIri = concat(lit("urn:src:"), col("repo"), lit("/"), col("path"))
-    val typed = m.select(col("repo"),
-      col("ent").as("subj"), lit("urn:p:type").as("pred"),
-      lit("urn:c:Entity").as("obj"), lit(0).cast("byte").as("objKind"))
-    val mentioned = m.select(col("repo"),
-      col("ent").as("subj"), lit("urn:p:mentionedIn").as("pred"),
-      fileIri.as("obj"), lit(0).cast("byte").as("objKind"))
-    val labeled = m.select(col("repo"),
-      col("ent").as("subj"), lit("urn:p:label").as("pred"),
-      col("ent").as("obj"), lit(2).cast("byte").as("objKind"))
-    val w = Window.partitionBy("repo", "path").orderBy("offset")
-    val cooc = m.withColumn("nxt", lead(col("ent"), 1).over(w))
-      .where(col("nxt").isNotNull && col("nxt") =!= col("ent"))
-      .select(col("repo"), col("ent").as("subj"),
-        lit("urn:p:coOccursWith").as("pred"), col("nxt").as("obj"),
-        lit(1).cast("byte").as("objKind"))
-    val hasFile = m.select(col("repo"),
-      concat(lit("urn:repo:"), col("repo")).as("subj"),
-      lit("urn:p:hasFile").as("pred"), fileIri.as("obj"),
-      lit(0).cast("byte").as("objKind"))
-      .withColumn("subjKind", lit(0).cast("byte"))
-
-    val bnodeSubj = typed.union(mentioned).union(labeled).union(cooc)
-      .withColumn("subjKind", lit(1).cast("byte"))
-
-    bnodeSubj.union(hasFile)
+    m.groupBy("repo", "path")
+      .agg(sort_array(collect_list(struct(col("offset"), col("ent")))).as("ms"))
+      .as[(String, String, Seq[(Long, String)])]
+      .flatMap { case (repo, path, ms) =>
+        val fileIri = s"urn:src:$repo/$path"
+        val out = Vector.newBuilder[TripleRow]
+        out += TripleRow(repo, 0, s"urn:repo:$repo", "urn:p:hasFile", fileIri, 0)
+        var prev: String = null
+        ms.foreach { case (_, ent) =>
+          out += TripleRow(repo, 1, ent, "urn:p:type", "urn:c:Entity", 0)
+          out += TripleRow(repo, 1, ent, "urn:p:mentionedIn", fileIri, 0)
+          out += TripleRow(repo, 1, ent, "urn:p:label", ent, 2)
+          if (prev != null && prev != ent)
+            out += TripleRow(repo, 1, prev, "urn:p:coOccursWith", ent, 1)
+          prev = ent
+        }
+        out.result()
+      }
+      .toDF()
       .select("repo", "subjKind", "subj", "pred", "obj", "objKind")
   }
 
-  /** Dedup with explicit skew break: repartition on (repo, salted
-    * subject hash) BEFORE the per-partition distinct so one mega-repo
-    * cannot pin the dedup shuffle to a single task, then a standard
-    * dropDuplicates (AQE coalesces the small partitions after).
+  /** Triple dedup. `dropDuplicates` hash-partitions on the FULL key
+    * (all six columns) with map-side partial deduplication, so a
+    * mega-repo cannot skew this shuffle — every row is its own group.
+    * (No extra salted repartition: that would add a second full
+    * shuffle for keys that are already uniformly distributed. The
+    * skew that CAN hurt is the downstream per-repo groupByKey into
+    * the canonicalization kernel, which is unsalvageable by salting —
+    * the graph must co-locate — and is instead bounded by the HNDQ
+    * budget + surfaced via per-graph quadCount/hndqCalls metrics.)
     */
-  def dedupTriples(triples: DataFrame, saltBuckets: Int = 64): DataFrame =
-    triples
-      .repartition(col("repo"), pmod(xxhash64(col("subj")), lit(saltBuckets)))
-      .dropDuplicates("repo", "subjKind", "subj", "pred", "obj", "objKind")
+  def dedupTriples(triples: DataFrame): DataFrame =
+    triples.dropDuplicates("repo", "subjKind", "subj", "pred", "obj", "objKind")
 
   /** Triples → per-repo canonical N-Quads via the RDFC-1.0 engine. */
   def canonicalizeTriples(triples: DataFrame,

@@ -37,33 +37,49 @@ object ScalingBench {
     import spark.implicits._
     val dictNames = (0 until cfg.nEntities).map(graft.pipeline.Corpus.entityName)
     val dict = spark.sparkContext.broadcast(dictNames.toSet)
+    // persist the corpus: it is consumed by three scans (mentions,
+    // aliases count, aliases collect). In the real pipeline this is a
+    // columnar table on disk; in the bench it is generated, so cache
+    // it once instead of regenerating per scan.
     val files = graft.pipeline.Corpus.generate(spark, cfg)
-    val mentions = graft.pipeline.Kg.detectMentions(files, dict)
-    val linked = graft.pipeline.Kg.linkMentions(mentions, dictNames.toDF("name"))
-    val aliases = graft.pipeline.Kg.detectAliases(files)
-    val cc = graft.pipeline.Kg.connectedComponents(dictNames.toDF("name"), aliases)
-    val triples = graft.pipeline.Kg.dedupTriples(
-      graft.pipeline.Kg.emitTriples(linked, cc))
-    graft.pipeline.Kg.canonicalizeTriples(triples).filter(_.status == "ok").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mentions = graft.pipeline.Kg.detectMentions(files, dict)
+      val linked = graft.pipeline.Kg.linkMentions(mentions, dictNames.toDF("name"))
+      val aliases = graft.pipeline.Kg.detectAliases(files)
+      val cc = graft.pipeline.Kg.connectedComponents(dictNames.toDF("name"), aliases)
+      val triples = graft.pipeline.Kg.dedupTriples(
+        graft.pipeline.Kg.emitTriples(linked, cc))
+      graft.pipeline.Kg.canonicalizeTriples(triples).filter(_.status == "ok").count()
+    } finally files.unpersist(blocking = false)
   }
 
   /** One measurement in this JVM: JIT warm-up run, then `trials`
     * timed runs; reports the MINIMUM (the host VM shows transient
     * steal-time spikes; min-of-N isolates the job's own cost).
     * Prints `RESULT <secs> <okGraphs>` on stdout. */
-  private def single(cores: Int, cfg: graft.pipeline.Corpus.Config,
-                     trials: Int = 3): Unit = {
+  private def single(cores: Int, cfg: graft.pipeline.Corpus.Config): Unit = {
     val spark = session(cores)
     runJob(spark, cfg) // full-size warm-up: JIT + codegen
-    var best = Double.MaxValue
+    // The host VM shows transient multi-second steal-time spikes that
+    // inflate in-task CPU 10x+. Take the minimum over trials and stop
+    // once two trials agree within 15% of it (max 6) — the agreed
+    // minimum is the job's own cost.
+    var times = List.empty[Double]
     var ok = 0L
-    (1 to trials).foreach { _ =>
+    var trial = 0
+    var stable = false
+    while (trial < 6 && !stable) {
       val t0 = System.nanoTime()
       ok = runJob(spark, cfg)
-      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      times ::= (System.nanoTime() - t0) / 1e9
+      trial += 1
+      val best = times.min
+      stable = trial >= 2 && times.count(_ <= best * 1.15) >= 2
+      System.err.println(f"[scaling] cores=$cores trial=$trial ${times.head}%.2f s")
     }
     spark.stop()
-    println(f"RESULT $best%.3f $ok")
+    println(f"RESULT ${times.min}%.3f $ok")
   }
 
   private def fork(cores: Int, cfg: graft.pipeline.Corpus.Config): (Double, Long) = {
@@ -78,7 +94,11 @@ object ScalingBench {
     cmd.add("graft.tools.ScalingBench"); cmd.add("--single")
     cmd.add(cores.toString); cmd.add(cfg.nRepos.toString)
     cmd.add(cfg.baseFilesPerRepo.toString); cmd.add(cfg.mentionsPerFile.toString)
-    val p = new ProcessBuilder(cmd).redirectErrorStream(false).start()
+    // stderr MUST be drained (inherit): an unconsumed pipe fills with
+    // Spark log output and blocks the child's writer threads.
+    val p = new ProcessBuilder(cmd)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
     val out = new String(p.getInputStream.readAllBytes())
     p.waitFor()
     val line = out.linesIterator.filter(_.startsWith("RESULT")).toSeq.headOption

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Plain-run stage timing via SparkListener (no caching side effects).
+  * Usage: StageProfile <cores> <repos> <files> <mpf> */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val Array(cores, repos, files, mpf) = args.map(_.toInt)
+    val cfg = graft.pipeline.Corpus.Config(
+      nRepos = repos, baseFilesPerRepo = files, mentionsPerFile = mpf)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    ScalingBench.runJob(spark, cfg) // warm-up
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        val taskTime = si.taskMetrics.executorRunTime
+        val gc = si.taskMetrics.jvmGCTime
+        stages.add((si.stageId, s"gc=${gc / 1000.0}s", dur, si.numTasks, taskTime))
+      }
+    })
+    val t0 = System.nanoTime()
+    val ok = ScalingBench.runJob(spark, cfg)
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"== cores=$cores wall=$wall%.2f ok=$ok")
+    var sumDur = 0L
+    var sumTask = 0L
+    stages.forEach { case (id, name, dur, nt, tt) =>
+      println(f"stage $id%4d $name%-28s wall=${dur / 1000.0}%7.2f s  tasks=$nt%4d  taskTime=${tt / 1000.0}%8.2f s")
+      sumDur += dur; sumTask += tt
+    }
+    println(f"== sum(stage wall)=${sumDur / 1000.0}%.2f s  sum(taskTime)=${sumTask / 1000.0}%.2f core-s")
+    spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the plans we ship are the plans we
+  * designed — filters reach the parquet scan, small dims broadcast,
+  * column pruning survives, and per-graph canonicalization costs
+  * exactly one hash exchange on the graph key. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed to the parquet scan and columns pruned") {
+    val p = planOf(SparkEntry.queries("q01_filter_project")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    // projection needs only 3 columns; scan schema must not include others
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    val p = planOf(SparkEntry.queries("q03_join_segment")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04: star join broadcasts all three small dims") {
+    val p = planOf(SparkEntry.queries("q04_star_join")(spark, sf))
+    assert(p.split("BroadcastHashJoin").length >= 4, p) // 3+ broadcast joins
+  }
+
+  test("canonicalization costs exactly one exchange, keyed on the graph") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(("g1", "_:a <urn:p> _:b .")))
+    val quads = graft.spark.CanonEngine.parseDocuments(docs)
+    val plan = planOf(graft.spark.CanonEngine.canonicalizePerGraph(quads).toDF())
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, plan)
+    assert(plan.contains("MapGroups"), plan)
+  }
+
+  test("whole-stage codegen covers the scan-side of aggregation queries") {
+    val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
+    df.collect() // AQE finalizes (and codegen-compiles) only on execution
+    val p = planOf(df)
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("*(1)"), p) // '*' = WholeStageCodegen span
+    // partial (map-side) aggregation must be present before the exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("metadata-only multimodal projection does not read the payload column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    graft.ops.Multimodal.syntheticMedia(spark, 10).write
+      .mode("overwrite").parquet(dir)
+    val p = planOf(graft.ops.Multimodal.metadataOnly(spark.read.parquet(dir)))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("payload"), readSchema)
+  }
+}
