@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class EventStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("windowed counts with watermark over a real stream (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStream.windowedCounts(df, "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      mem.addData(
+        (1L, t(1), 10L, "click", 1.0, ""),
+        (2L, t(3), 11L, "click", 2.0, ""),
+        (3L, t(12), 10L, "view", 3.0, ""))
+      q.processAllAvailable()
+      val rows = spark.sql("select event_type, n from win_counts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("click", 2L)))
+      assert(rows.contains(("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization over a stream, gap splits sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.SessionEvent]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1: one burst for user 1
+      mem.addData(
+        EventStream.SessionEvent(1L, t("2024-01-01 00:00:00"), 1.0),
+        EventStream.SessionEvent(1L, t("2024-01-01 00:00:30"), 2.0))
+      q.processAllAvailable()
+      // batch 2: a second burst 10 minutes later -> closes session 1
+      mem.addData(EventStream.SessionEvent(1L, t("2024-01-01 00:10:00"), 5.0))
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "select n_events, sum_value from sessions where user_id = 1").collect()
+      assert(closed.exists(r => r.getInt(0) == 2 && r.getDouble(1) == 3.0),
+        closed.mkString(","))
+    } finally q.stop()
+  }
+
+  test("batch sessionization agrees with q18-style gap counting") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val ds = Seq(
+      EventStream.SessionEvent(1L, t("2024-01-01 00:00:00"), 1.0),
+      EventStream.SessionEvent(1L, t("2024-01-01 00:05:00"), 1.0),
+      EventStream.SessionEvent(1L, t("2024-01-01 01:00:00"), 1.0),
+      EventStream.SessionEvent(2L, t("2024-01-01 00:00:00"), 1.0)
+    ).toDS()
+    // sessionize in batch mode emits all sessions incl. trailing open ones
+    val sessions = EventStream.sessionize(ds, gapMs = 600000L,
+      flushTrailing = true).collect()
+    assert(sessions.count(_.user_id == 1L) == 2)
+    assert(sessions.count(_.user_id == 2L) == 1)
+  }
+}
