@@ -36,22 +36,33 @@ object Bench {
     // synthetic KG corpus (see BASELINE.md)
     val cfg = graft.pipeline.Corpus.Config(
       nRepos = 400, baseFilesPerRepo = 12, mentionsPerFile = 8)
-    val canonSecs = time {
-      import spark.implicits._
-      val dictNames = (0 until cfg.nEntities).map(graft.pipeline.Corpus.entityName)
-      val dict = spark.sparkContext.broadcast(dictNames.toSet)
+    import spark.implicits._
+    val dictNames = (0 until cfg.nEntities).map(graft.pipeline.Corpus.entityName)
+    val dict = spark.sparkContext.broadcast(dictNames.toSet)
+    def inputs() = {
       val files = graft.pipeline.Corpus.generate(spark, cfg)
       val mentions = graft.pipeline.Kg.detectMentions(files, dict)
       val linked = graft.pipeline.Kg.linkMentions(mentions, dictNames.toDF("name"))
       val aliases = graft.pipeline.Kg.detectAliases(files)
       val cc = graft.pipeline.Kg.connectedComponents(dictNames.toDF("name"), aliases)
+      (linked, cc)
+    }
+    val stagedSecs = time {
+      val (linked, cc) = inputs()
       val triples = graft.pipeline.Kg.dedupTriples(
         graft.pipeline.Kg.emitTriples(linked, cc))
       val n = graft.pipeline.Kg.canonicalizeTriples(triples)
         .filter(_.status == "ok").count()
       require(n == cfg.nRepos, s"canon bench: $n/${cfg.nRepos} graphs ok")
     }
-    results("canon_pipeline_400graphs") = canonSecs
+    results("canon_staged_400graphs") = stagedSecs
+    val canonSecs = time {
+      val (linked, cc) = inputs()
+      val n = graft.pipeline.Kg.canonicalizeFromMentions(linked, cc)
+        .filter(_.status == "ok").count()
+      require(n == cfg.nRepos, s"canon bench: $n/${cfg.nRepos} graphs ok")
+    }
+    results("canon_fused_400graphs") = canonSecs
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -179,13 +179,10 @@ object SparkEntry {
         t(s, d, "embeddings").where(col("vec_id") < 300), k = 5)
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
-    "q23_ann_lsh" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
-      Similarity.annTopK(e, dim, k = 5)
+    "q23_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(t(s, d, "embeddings"), k = 5)
         .select(col("id_a"), col("id_b"), col("rank"))
-        .orderBy("id_a", "rank")
-    }),
+        .orderBy("id_a", "rank")),
 
     // --- multimodal plumbing ----------------------------------------------------------
     "q24_multimodal" -> ((s, d) => {

@@ -4,6 +4,8 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
+import scala.collection.mutable
+
 final case class Mention(repo: String, path: String, entity: String,
                          offset: Long, surface: String)
 final case class TripleRow(repo: String, subjKind: Byte, subj: String,
@@ -204,6 +206,58 @@ object Kg {
     */
   def dedupTriples(triples: DataFrame): DataFrame =
     triples.dropDuplicates("repo", "subjKind", "subj", "pred", "obj", "objKind")
+
+  /** FUSED fast path: linked mentions → canonical graphs with ONE
+    * wide dependency. Groups mentions by repo (the same exchange the
+    * kernel needs anyway), then per task: order mentions per file,
+    * emit triples, dedup in-memory, run RDFC-1.0. Compared to the
+    * staged emitTriples → dedupTriples → canonicalizeTriples chain
+    * this removes two full shuffles of the (duplicate-heavy) triple
+    * set — at 100 TB that is the difference between one corpus-wide
+    * exchange and three. The staged path remains for pipelines that
+    * materialize the triple table (metrics / downstream consumers).
+    */
+  def canonicalizeFromMentions(linked: Dataset[LinkedMention], canonMap: DataFrame,
+                               opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default)
+      : Dataset[graft.spark.CanonResult] = {
+    val spark = linked.sparkSession
+    import spark.implicits._
+    import graft.rdf.TermKind
+    val cm = canonMap.withColumnRenamed("entity", "ent_key")
+    val m = linked.toDF()
+      .join(broadcast(cm), col("entity") === col("ent_key"))
+      .select(col("repo"), col("path"), col("canonical").as("ent"), col("offset"))
+      .as[(String, String, String, Long)]
+    val limit = opts.hndqCallLimit
+    val alg = opts.hashAlgorithm
+    m.groupByKey(_._1).mapGroups { (repo, it) =>
+      val perFile = new scala.collection.mutable.HashMap[String, mutable.ArrayBuffer[(Long, String)]]
+      it.foreach { case (_, path, ent, off) =>
+        perFile.getOrElseUpdate(path, new mutable.ArrayBuffer) += ((off, ent))
+      }
+      val seen = new scala.collection.mutable.HashSet[(Byte, String, String, String, Byte)]
+      val quads = new mutable.ArrayBuffer[graft.rdf.Quad]
+      def add(sk: Byte, s: String, p: String, o: String, ok: Byte): Unit =
+        if (seen.add((sk, s, p, o, ok)))
+          quads += graft.rdf.Quad(sk, s, p, ok, o, "", "", TermKind.DefaultGraph, "")
+      perFile.toSeq.sortBy(_._1).foreach { case (path, ms) =>
+        val fileIri = s"urn:src:$repo/$path"
+        add(TermKind.Iri, s"urn:repo:$repo", "urn:p:hasFile", fileIri, TermKind.Iri)
+        var prev: String = null
+        ms.sortInPlace()
+        ms.foreach { case (_, ent) =>
+          add(TermKind.BNode, ent, "urn:p:type", "urn:c:Entity", TermKind.Iri)
+          add(TermKind.BNode, ent, "urn:p:mentionedIn", fileIri, TermKind.Iri)
+          add(TermKind.BNode, ent, "urn:p:label", ent, TermKind.Literal)
+          if (prev != null && prev != ent)
+            add(TermKind.BNode, prev, "urn:p:coOccursWith", ent, TermKind.BNode)
+          prev = ent
+        }
+      }
+      graft.spark.CanonEngine.canonicalizeOne(repo, quads.toVector,
+        graft.canon.CanonOptions(limit, alg))
+    }
+  }
 
   /** Triples → per-repo canonical N-Quads via the RDFC-1.0 engine. */
   def canonicalizeTriples(triples: DataFrame,

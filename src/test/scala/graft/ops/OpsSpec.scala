@@ -85,7 +85,7 @@ class OpsSpec extends AnyFunSuite {
     val df = rows.toDF("vec_id", "embedding")
     val bf = Similarity.bruteForceTopK(df, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.annTopK(df, dim = 4, k = 3).collect()
+    val ann = Similarity.annTopK(df, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = bf.intersect(ann).size.toDouble / bf.size
     assert(recall > 0.8, s"ANN recall $recall")

@@ -58,6 +58,22 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(r2.okGraphs == r1.okGraphs)
   }
 
+  test("fused canonicalization equals the staged path byte-for-byte") {
+    import spark.implicits._
+    val dictNames = (0 until cfg.nEntities).map(Corpus.entityName)
+    val dict = spark.sparkContext.broadcast(dictNames.toSet)
+    val files = Corpus.generate(spark, cfg)
+    val mentions = Kg.detectMentions(files, dict)
+    val linked = Kg.linkMentions(mentions, dictNames.toDF("name"))
+    val cc = Kg.connectedComponents(dictNames.toDF("name"), Kg.detectAliases(files))
+    val staged = Kg.canonicalizeTriples(
+      Kg.dedupTriples(Kg.emitTriples(linked, cc)))
+      .collect().map(r => r.key -> r.outputSha256).toMap
+    val fused = Kg.canonicalizeFromMentions(linked, cc)
+      .collect().map(r => r.key -> r.outputSha256).toMap
+    assert(fused == staged)
+  }
+
   test("canonical output is deterministic across independent work dirs") {
     val w1 = Files.createTempDirectory("kgd1").toString
     val w2 = Files.createTempDirectory("kgd2").toString
