@@ -162,16 +162,19 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // --- near-dup dedup family (rows-only checks: not ANSI-SQL shape) -------------
+    // --- near-dup dedup family (DuckDB-oracled: md5-portable hashing) -------------
     "q19_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), threshold = 0.5)
         .orderBy("id_a", "id_b")),
     "q20_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 8)
+      // maxHamming+1 chunks => emitted set is EXACTLY {hamming <= 3}
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
         .orderBy("id_a", "id_b")),
     "q21_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    "q28_jaccard_stats" -> ((s, d) =>
+      Dedup.ngramShingleStats(t(s, d, "documents"))),
 
     // --- similarity search ----------------------------------------------------------
     "q22_cosine_topk" -> ((s, d) =>
@@ -229,8 +232,42 @@ object SparkEntry {
     })
   )
 
+  /** Shared oracle CTE: distinct 5-gram shingles per document as md5
+    * hex ids — the SQL twin of Dedup.shingleHashes (which keeps the
+    * first 8 md5 bytes as a long; set cardinalities are identical). */
+  private val ShingleCte: String =
+    """WITH sh AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |         CASE WHEN length(norm) < 5 THEN [md5(norm)]
+      |              ELSE list_distinct([md5(substr(norm, i, 5)) FOR i IN range(1, length(norm)-3)]) END AS s
+      |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents)
+      |)""".stripMargin
+
+  /** Brute-force exact-Jaccard pairs >= threshold — the oracle for
+    * BOTH q19 (MinHash LSH) and q21 (inverted-index): each emits
+    * candidates-verified-exactly, and at the verification thresholds
+    * the candidate stages have recall 1 on this corpus (all true
+    * pairs sit at jaccard >= 0.92), so emitted set == true set. */
+  private def jaccardOracle(threshold: Double): String =
+    s"""$ShingleCte, pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS la, len(b.s) AS lb
+       |  FROM sh a JOIN sh b ON a.id < b.id)
+       |SELECT id_a, id_b, CAST(c AS DOUBLE)/(la+lb-c) AS jaccard
+       |FROM pairs WHERE CAST(c AS DOUBLE)/(la+lb-c) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Golden self-oracles (q24-q27): deterministic pipeline outputs
+    * pinned as VALUES at sf0.01 in the generated `GoldenOracles`
+    * source — regenerate via `graft.tools.GoldenOracleGen` whenever
+    * the operators change. */
+  val GoldenOracleNames: Seq[String] =
+    Seq("q24_multimodal", "q25_dockg_canon", "q26_kg_mentions", "q27_kg_canon")
+
   /** DuckDB oracles. Omitted keys → driver does a rows-only check. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ GoldenOracles.sql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT) AS qty_i
         |FROM lineitem WHERE l_quantity > 45
@@ -330,6 +367,111 @@ object SparkEntry {
         |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 600000000
         |      THEN 1 ELSE 0 END AS new_sess
         |  FROM events)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // lang-id argmax: Spark's array_max over struct(score, lang) picks
+    // the highest score, ties broken by the LARGEST lang string — the
+    // CASE tests langs in descending order to match.
+    "q16_langid_pred" -> {
+      val langs = TextOps.LangMarkers.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, ms) =>
+        val list = ms.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(regexp_split_to_array(text, ' +'), x -> x IN ($list))) AS s_$lang"
+      }.mkString(",\n    ")
+      val g = langs.map(l => s"s_${l._1}").mkString("GREATEST(", ", ", ")")
+      val arms = langs.reverse.init
+        .map { case (lang, _) => s"WHEN s_$lang = g THEN '$lang'" }
+        .mkString(" ")
+      val names = langs.map(l => s"s_${l._1}").mkString(", ")
+      s"""SELECT doc_id, CASE WHEN g = 0 THEN 'und' $arms ELSE '${langs.head._1}' END AS lang_pred
+         |FROM (SELECT doc_id, $names, $g AS g FROM (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    $scoreCols
+         |  FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q19_minhash_lsh" -> jaccardOracle(0.5),
+    "q21_ngram_jaccard" -> jaccardOracle(0.5),
+
+    // simhash: md5-per-token bit counting, 64-bit majority vote; with
+    // maxHamming+1 chunks the emitted set is exactly all pairs with
+    // hamming <= 3, so the oracle is the brute-force pair scan.
+    "q20_simhash" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         regexp_split_to_array(lower(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT id,
+        |    array_to_string([CASE WHEN 2*len(list_filter(toks, tk ->
+        |        ((strpos('0123456789abcdef', substr(md5(tk), CAST(b//4 AS INT)+1, 1))-1)
+        |          >> CAST(3 - (b%4) AS INT)) & 1 = 1)) > len(toks) THEN '1' ELSE '0' END
+        |      FOR b IN range(0, 64)], '') AS bits
+        |  FROM t
+        |), p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    len(list_filter(range(1,65), i -> substr(a.bits,CAST(i AS INT),1) != substr(b.bits,CAST(i AS INT),1))) AS hamming
+        |  FROM s a JOIN s b ON a.id < b.id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // cosine: strictly sequential double sums over raw floats — the
+    // exact arithmetic Dedup/Similarity kernels use, so ranks match
+    // bit-for-bit.
+    "q22_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
+        |    sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) AS nrm
+        |  FROM embeddings WHERE vec_id < 300
+        |), p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_reduce([CAST(a.e[i] AS DOUBLE)*CAST(b.e[i] AS DOUBLE) FOR i IN range(1,len(a.e)+1)],(x,y)->x+y)/(a.nrm*b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.id != b.id)
+        |SELECT id_a, id_b, rank FROM (
+        |  SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM p)
+        |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
+
+    // ANN: md5-derived hyperplane signs, 3 bands x 8 bits, candidates
+    // share a band bucket, exact cosine rank inside candidates —
+    // full SQL replication of Similarity.annTopK.
+    "q23_ann_lsh" ->
+      """WITH v AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
+        |    sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) AS nrm
+        |  FROM embeddings
+        |), pl AS (
+        |  SELECT b, [CASE WHEN (strpos('0123456789abcdef', substr(md5('rhp:42:'||b||':'||(i-1)),1,1))-1) & 1 = 0
+        |                  THEN 1.0 ELSE -1.0 END FOR i IN range(1,65)] AS p
+        |  FROM range(0,24) t(b)
+        |), bits AS (
+        |  SELECT v.id, pl.b,
+        |    CASE WHEN list_reduce([CAST(v.e[CAST(i AS INT)] AS DOUBLE)*pl.p[CAST(i AS INT)] FOR i IN range(1,len(v.e)+1)],(x,y)->x+y) >= 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM v, pl
+        |), banded AS (
+        |  SELECT id, CAST(b//8 AS INT) AS band, SUM(bit << CAST(b%8 AS INT)) AS bucket
+        |  FROM bits GROUP BY id, b//8
+        |), cand AS (
+        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id != r.id
+        |), scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    list_reduce([CAST(a.e[CAST(i AS INT)] AS DOUBLE)*CAST(b.e[CAST(i AS INT)] AS DOUBLE) FOR i IN range(1,len(a.e)+1)],(x,y)->x+y)/(a.nrm*b.nrm) AS cos
+        |  FROM cand c JOIN v a ON c.id_a = a.id JOIN v b ON c.id_b = b.id)
+        |SELECT id_a, id_b, rank FROM (
+        |  SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
+
+    "q28_jaccard_stats" ->
+      s"""$ShingleCte, inv AS (SELECT id, unnest(s) AS shingle FROM sh),
+         |dfc AS (SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle)
+         |SELECT
+         |  (SELECT COUNT(*) FROM dfc) AS n_shingles,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN df > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM dfc) AS n_overdf,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN df > 100 THEN df ELSE 0 END), 0) AS BIGINT) FROM dfc) AS overdf_mass,
+         |  (SELECT COUNT(*) FROM sh WHERE id NOT IN (
+         |     SELECT DISTINCT id FROM inv JOIN dfc USING (shingle)
+         |     WHERE df BETWEEN 2 AND 100)) AS n_docs_unindexed""".stripMargin
   )
 }

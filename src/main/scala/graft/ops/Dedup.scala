@@ -1,7 +1,11 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -9,14 +13,22 @@ import org.apache.spark.sql.{Column, DataFrame}
   * work — never a global cross join. Candidate generation (LSH bands /
   * simhash chunks / shared rare shingles) bounds pair enumeration to
   * same-bucket pairs; exact verification runs only on candidates.
+  * Hot buckets (boilerplate / identical-content corpora) are guarded:
+  * buckets larger than `maxBucket` degrade from all-pairs to STAR
+  * candidates (every member ↔ the bucket's min id) — O(n) instead of
+  * O(n²) while preserving duplicate-cluster connectivity.
   *
   * Signature computation (shingles, minhash, simhash) runs as typed
-  * per-partition JVM kernels: these are tight per-row loops (tens of
-  * thousands of hash ops per document) where interpreted higher-order
-  * Column functions cost 50-100x; the relational parts — banding,
-  * bucket joins, verification — stay DataFrame so Catalyst plans the
-  * shuffles. (Spark-guide preference (d): mapPartitions for genuine
-  * per-partition imperative logic.)
+  * per-partition JVM kernels: these are tight per-row loops where
+  * interpreted higher-order Column functions cost 50-100x; the
+  * relational parts — banding, bucket joins, verification — stay
+  * DataFrame so Catalyst plans the shuffles.
+  *
+  * Hashing is MD5-based and PORTABLE: `md5(x)` exists verbatim in
+  * DuckDB, so every similarity value this module emits can be
+  * recomputed independently by the SQL oracle (SparkEntry.oracleSql)
+  * — and MD5 is collision-free at any realistic corpus size, unlike
+  * the 31-polynomial rolling hash it replaced.
   */
 object Dedup {
 
@@ -33,18 +45,31 @@ object Dedup {
 
   private def mix64(x0: Long): Long = graft.pipeline.Corpus.mix64(x0)
 
-  /** Distinct k-gram shingle hashes of the normalized text (JVM-side,
-    * rolling over chars; deterministic splitmix64). */
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(s), big-endian — the same 64 bits DuckDB's
+    * `substr(md5(s), 1, 16)` hex-encodes, so set cardinalities and
+    * per-bit tests computed here are reproducible in plain SQL. */
+  def md5Long(s: String): Long = {
+    val d = md5Local.get(); d.reset()
+    val b = d.digest(s.getBytes(UTF_8))
+    ((b(0) & 0xFFL) << 56) | ((b(1) & 0xFFL) << 48) |
+      ((b(2) & 0xFFL) << 40) | ((b(3) & 0xFFL) << 32) |
+      ((b(4) & 0xFFL) << 24) | ((b(5) & 0xFFL) << 16) |
+      ((b(6) & 0xFFL) << 8) | (b(7) & 0xFFL)
+  }
+
+  /** Distinct k-gram shingle hashes of the normalized text, sorted.
+    * Shingle id = md5Long of the k-char window (JVM-side kernel). */
   def shingleHashes(text: String, k: Int = 5): Array[Long] = {
     val norm = text.toLowerCase.replaceAll("\\s+", " ")
-    if (norm.length <= k) return Array(mix64(norm.hashCode.toLong))
+    if (norm.length < k) return Array(md5Long(norm))
     val set = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i + k <= norm.length) {
-      var h = 0L
-      var j = 0
-      while (j < k) { h = h * 31 + norm.charAt(i + j); j += 1 }
-      set.add(mix64(h))
+      set.add(md5Long(norm.substring(i, i + k)))
       i += 1
     }
     val out = new Array[Long](set.size)
@@ -78,27 +103,95 @@ object Dedup {
 
   private val jaccardUdf = udf(jaccardSorted _)
 
+  /** Same-bucket candidate pairs with a hot-bucket guard.
+    * Input: (id, key...) rows. Buckets of size <= maxBucket contribute
+    * ALL intra-bucket pairs; larger buckets contribute STAR pairs
+    * (member ↔ bucket min id) — bounded O(bucket) instead of
+    * O(bucket²), and a cluster of identical documents stays connected
+    * through its hub. Returns distinct (id_a < id_b) pairs. */
+  private def bucketPairs(buckets: DataFrame, keys: Seq[String],
+                          maxBucket: Int): DataFrame = {
+    val kc = keys.map(col)
+    val stats = buckets.groupBy(kc: _*)
+      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_hub"))
+    val tagged = buckets.join(stats, keys)
+    val small = tagged.where(col("bkt_n") <= maxBucket)
+    val l = small.select((col("id").as("id_a") +: kc): _*)
+    val r = small.select((col("id").as("id_b") +: kc): _*)
+    val allPairs = l.join(r, keys)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // hub = min id, so star pairs already satisfy id_a < id_b
+    val star = tagged
+      .where(col("bkt_n") > maxBucket && col("id") =!= col("bkt_hub"))
+      .select(col("bkt_hub").as("id_a"), col("id").as("id_b"))
+    allPairs.union(star).dropDuplicates("id_a", "id_b")
+  }
+
   /** n-gram Jaccard near-dup via an inverted shingle index:
     * candidates = pairs sharing a *discriminative* shingle (document
-    * frequency <= maxDf; ultra-common shingles add O(df^2) candidate
-    * pairs and ~no discrimination), verified with EXACT Jaccard over
-    * the full shingle sets (the df cut only gates candidate
-    * generation, never the similarity value). Returns
-    * (id_a, id_b, jaccard), id_a < id_b. */
+    * frequency in [2, maxDf]; ultra-common shingles add O(df²)
+    * candidate pairs and ~no discrimination), verified with EXACT
+    * Jaccard over the full shingle sets. Shingles with df > maxDf no
+    * longer vanish silently (a duplicate cluster larger than maxDf
+    * shares ONLY over-df shingles): each over-df shingle contributes
+    * STAR candidates from its first maxDf ids to its min id — bounded
+    * recall recovery; the remaining bound is quantified by
+    * [[ngramShingleStats]]. Returns (id_a, id_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         idCol: String = "doc_id", textCol: String = "text",
                         k: Int = 5, maxDf: Int = 100): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, k)
     val inverted = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val rare = inverted.groupBy("shingle")
-      .agg(collect_list("id").as("ids"), count(lit(1)).as("df"))
-      .where(col("df") <= maxDf && col("df") >= 2)
-    val cand = rare
+    val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rare path: join the (small) rare-key set back BEFORE collecting,
+    // so no aggregation buffer ever exceeds maxDf ids
+    val rareKeys = dfc.where(col("df") <= maxDf && col("df") >= 2)
+      .select("shingle")
+    val rareLists = inverted.join(rareKeys, "shingle")
+      .groupBy("shingle").agg(collect_list("id").as("ids"))
+    val cand = rareLists
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, sh, threshold)
+    // over-df recovery: star from the shingle's min id to its first
+    // maxDf ids — windowed (sort-based, spillable), never a
+    // collect_list of an unbounded posting list
+    val overKeys = dfc.where(col("df") > maxDf).select("shingle")
+    val w = Window.partitionBy("shingle").orderBy("id")
+    val star = inverted.join(overKeys, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("hub", min("id").over(w)) // prefix min on sorted ids = global min
+      .where(col("rn") <= maxDf + 1 && col("id") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("id").as("id_b"))
+    verifyJaccard(
+      cand.select("id_a", "id_b").union(star.select("id_a", "id_b"))
+        .dropDuplicates("id_a", "id_b"),
+      sh, threshold)
+  }
+
+  /** Recall instrumentation for [[ngramJaccardPairs]] (one row):
+    * total distinct shingles, shingles over the df cap (+ their total
+    * df mass = candidate entries not fully expanded), and documents
+    * with ZERO rare-shingle index entries (reachable only through the
+    * over-df star, i.e. the documented recall bound). */
+  def ngramShingleStats(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", k: Int = 5,
+                        maxDf: Int = 100): DataFrame = {
+    val sh = withShingles(docs, idCol, textCol, k)
+    val inverted = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val shingleAgg = dfc.agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_overdf"),
+      sum(when(col("df") > maxDf, col("df")).otherwise(0L)).as("overdf_mass"))
+    val indexed = inverted.join(
+        dfc.where(col("df") <= maxDf && col("df") >= 2), "shingle")
+      .select("id").distinct()
+    val unindexed = sh.select("id").distinct()
+      .join(indexed, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs_unindexed"))
+    shingleAgg.crossJoin(unindexed)
   }
 
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
@@ -113,7 +206,9 @@ object Dedup {
 
   /** MinHash signature from sorted shingle hashes: m pseudo-
     * permutations via seeded splitmix re-hash; sig(i) = min over
-    * shingles of mix64(s ^ seed_i). */
+    * shingles of mix64(s ^ seed_i). (Not oracle-replicated — the LSH
+    * stage only generates candidates; emitted pairs are defined by the
+    * exact-Jaccard verify, which IS replicated in SQL.) */
   def minhashSig(sh: Array[Long], m: Int): Array[Long] = {
     val sig = Array.fill(m)(Long.MaxValue)
     var i = 0
@@ -130,12 +225,14 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: `m` minhashes in `bands` bands; docs
-    * sharing any band bucket are candidates; candidates verified with
-    * exact Jaccard on the full shingle sets. Two shuffles (bucket
-    * groupBy, verify join) — no O(n^2). */
+    * sharing any band bucket are candidates (hot buckets degrade to
+    * star pairs past `maxBucket`); candidates verified with exact
+    * Jaccard on the full shingle sets. Two shuffles (bucket groupBy,
+    * verify join) — no O(n²). */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text",
-                      k: Int = 5, m: Int = 32, bands: Int = 8): DataFrame = {
+                      k: Int = 5, m: Int = 32, bands: Int = 8,
+                      maxBucket: Int = 2000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = m / bands
@@ -150,53 +247,63 @@ object Dedup {
           (id, b, h)
         }
       }).toDF("id", "band", "bucket")
-    val l = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
-    val cand = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(bucketPairs(banded, Seq("band", "bucket"), maxBucket),
+      sh, threshold)
   }
 
-  /** 64-bit SimHash from whitespace-token hashes (typed kernel). */
+  /** 64-bit SimHash over whitespace tokens (typed kernel). Bit b of
+    * token hash = bit (3 - b%4) of hex digit b/4 of md5(token) —
+    * exactly reproducible in SQL from `md5(tok)`. Sim bit b is set
+    * when a majority of tokens have it set. */
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
-    var n = 0
-    text.toLowerCase.split(" +").foreach { tok =>
-      val h = mix64(tok.hashCode.toLong)
+    val toks = text.toLowerCase.split(" +")
+    var t = 0
+    while (t < toks.length) {
+      val w = md5Long(toks(t)) // bit b (hex order) = bit 63-b of w
       var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
-      n += 1
+      while (b < 64) { if (((w >>> (63 - b)) & 1L) == 1L) counts(b) += 1; b += 1 }
+      t += 1
     }
+    val n = toks.length
     var sim = 0L
     var b = 0
     while (b < 64) { if (counts(b) * 2 > n) sim |= (1L << b); b += 1 }
     sim
   }
 
-  /** SimHash near-dup: band the 64-bit simhash into 4 x 16-bit chunks
-    * (pigeonhole: hamming <= 3 => at least one identical chunk),
-    * bucket-join on (chunk index, value), verify true hamming. */
+  /** SimHash near-dup with an EXACT pigeonhole guarantee: the 64-bit
+    * simhash is split into maxHamming+1 chunks, so any pair within
+    * `maxHamming` shares at least one identical chunk — the emitted
+    * set is exactly {pairs : hamming <= maxHamming}, not a recall<1
+    * subset. Bucket-join on (chunk index, value) with the hot-bucket
+    * star guard, then verify true hamming (vectors re-joined by id
+    * AFTER pair dedup — the candidate shuffle carries only ids). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucket: Int = 2000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val spark = docs.sparkSession
     import spark.implicits._
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    // first `rem` chunks are one bit wider; offsets cover all 64 bits
+    val widths = (0 until nChunks).map(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val withSim = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, simhash64(t)) })
       .toDF("id", "sim")
-    val chunked = withSim.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))
+    val chunked = withSim.select(col("id"),
+      posexplode(array((0 until nChunks).map { c =>
+        shiftright(col("sim"), offsets(c))
+          .bitwiseAND(lit((1L << widths(c)) - 1L))
       }: _*)).as(Seq("chunk", "val")))
-    val l = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"),
-      col("chunk"), col("val"))
-    val r = chunked.select(col("id").as("id_b"), col("sim").as("sim_b"),
-      col("chunk"), col("val"))
-    l.join(r, Seq("chunk", "val"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = bucketPairs(chunked, Seq("chunk", "val"), maxBucket)
+    val a = withSim.select(col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = withSim.select(col("id").as("id_b"), col("sim").as("sim_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

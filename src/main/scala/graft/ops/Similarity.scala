@@ -1,5 +1,8 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -8,15 +11,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   * matching the `embeddings(vec_id, embedding, label)` table.
   *
   * Two paths:
-  *  - brute-force cosine top-k: exact baseline. O(n^2) pairs — use on
+  *  - brute-force cosine top-k: exact baseline. O(n²) pairs — use on
   *    bounded inputs or broadcastable query sets.
   *  - LSH-bucketed ANN (random-hyperplane signatures): the scale
   *    path — candidates share a signature band bucket, so pair work
-  *    is #buckets x bucket^2 instead of n^2.
+  *    is #buckets × bucket² instead of n², hot buckets degrade to
+  *    star candidates past `maxBucket`.
   *
-  * Vectors are L2-normalized ONCE per row (typed kernel — a tight
-  * float loop where interpreted higher-order Columns cost 50x);
-  * after that cosine == dot product, computed per candidate pair.
+  * Determinism/portability: cosine is computed as
+  * dot(a,b) / (‖a‖·‖b‖) with strictly sequential double summation
+  * over the RAW float vectors (no intermediate float rounding), and
+  * hyperplane signs come from md5 — both bit-reproducible in DuckDB
+  * SQL, which is how SparkEntry's q22/q23 oracles verify these
+  * operators end to end.
   */
 object Similarity {
 
@@ -40,47 +47,69 @@ object Similarity {
 
   private val dotUdf = udf((a: Array[Float], b: Array[Float]) => dotF(a, b))
 
-  /** (id, unit-norm vector) via one typed pass. */
-  private def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** (id, raw vector, L2 norm) via one typed pass — the norm is kept
+    * as a double so cosine needs no unit-normalized (float-rounded)
+    * copy of the vector. */
+  private def withNorms(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
-        val n = math.sqrt(dotF(v, v))
-        val u = if (n == 0) v else v.map(x => (x / n).toFloat)
-        (id, u)
-      }).toDF("id", "v")
+        (id, v, math.sqrt(dotF(v, v)))
+      }).toDF("id", "v", "nrm")
   }
 
-  /** Exact top-k cosine neighbors for every vector (self-join without
-    * self-pairs) — the correctness baseline for ANN. */
-  def bruteForceTopK(vecs: DataFrame, k: Int = 5,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val u = normalized(vecs, idCol, vecCol)
-    val a = u.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = u.select(col("id").as("id_b"), col("v").as("v_b"))
-    val pairs = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
-      .withColumn("cos", dotUdf(col("v_a"), col("v_b")))
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("id_a", "id_b", "cos", "rank")
   }
 
-  /** Deterministic random hyperplane sign for (dim i, bit b). */
-  @inline private def planeSign(i: Int, bit: Int, seed: Long): Double =
-    if ((graft.pipeline.Corpus.mix64(seed ^ (bit.toLong << 32) ^ i) & 1L) == 0L) 1.0 else -1.0
+  /** Exact top-k cosine neighbors for every vector (self-join without
+    * self-pairs) — the correctness baseline for ANN. */
+  def bruteForceTopK(vecs: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val u = withNorms(vecs, idCol, vecCol)
+    val a = u.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = u.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val pairs = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", dotUdf(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+    rankTopK(pairs, k)
+  }
 
-  /** nBits-bit random-hyperplane signature — cosine-preserving LSH
-    * (typed kernel; deterministic planes from the seed). */
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Deterministic hyperplane matrix: planes(b)(i) = +1 when the first
+    * md5 hex digit of "rhp:<seed>:<b>:<i>" is even, else -1 — portable
+    * to SQL verbatim. Built once per JVM per (seed, nBits, dim); the
+    * previous design re-derived every sign per VECTOR. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]
+
+  private def planes(seed: Long, nBits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, nBits, dim), _ =>
+      Array.tabulate(nBits, dim) { (b, i) =>
+        val d = md5Local.get(); d.reset()
+        val h = d.digest(s"rhp:$seed:$b:$i".getBytes(UTF_8))
+        if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+      })
+
+  /** nBits-bit random-hyperplane signature — cosine-preserving LSH.
+    * Sign-invariant to positive per-vector scaling, so it runs on the
+    * raw (un-normalized) vector. */
   def rhpSig(v: Array[Float], nBits: Int, seed: Long): Long = {
+    val pl = planes(seed, nBits, v.length)
     var sig = 0L
     var b = 0
     while (b < nBits) {
+      val p = pl(b)
       var s = 0.0
       var i = 0
-      while (i < v.length) { s += v(i) * planeSign(i, b, seed); i += 1 }
+      while (i < v.length) { s += v(i) * p(i); i += 1 }
       if (s >= 0) sig |= (1L << b)
       b += 1
     }
@@ -89,35 +118,49 @@ object Similarity {
 
   /** ANN top-k: signature bands as buckets (multi-probe), exact
     * cosine ranking inside buckets. `bitsPerBand` controls the
-    * bucket-size / recall trade-off (8 bits -> 256 buckets per band).
-    * Recall < 1 by construction; compare against bruteForceTopK. */
+    * bucket-size / recall trade-off (8 bits → 256 buckets per band).
+    * Recall < 1 by construction; compare against bruteForceTopK.
+    *
+    * Scale shape: the banding rows and the candidate-pair dedup carry
+    * ONLY ids — float vectors are re-joined by id after the pair set
+    * is distinct, so the bucket join never shuffles two vectors per
+    * candidate pair. Buckets past `maxBucket` degrade to star pairs. */
   def annTopK(vecs: DataFrame, k: Int = 5, bands: Int = 3,
               bitsPerBand: Int = 8, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBucket: Int = 2000): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val nBits = bands * bitsPerBand
     require(nBits <= 63, "bands * bitsPerBand must be <= 63")
-    val u = normalized(vecs, idCol, vecCol)
-    val banded = u.as[(Long, Array[Float])]
+    val u = withNorms(vecs, idCol, vecCol)
+    val banded = u.select(col("id"), col("v")).as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, v) =>
         val sig = rhpSig(v, nBits, seed)
         (0 until bands).iterator.map { b =>
-          (id, v, b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1))
+          (id, b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1))
         }
-      }).toDF("id", "v", "band", "bucket")
-    val l = banded.select(col("id").as("id_a"), col("v").as("v_a"),
-      col("band"), col("bucket"))
-    val r = banded.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("band"), col("bucket"))
-    val cand = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b")
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", dotUdf(col("v_a"), col("v_b")))
-    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("id_a", "id_b", "cos", "rank")
+      }).toDF("id", "band", "bucket")
+    // distinct undirected candidate ids, then mirror for per-id top-k
+    val stats = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_hub"))
+    val tagged = banded.join(stats, Seq("band", "bucket"))
+    val small = tagged.where(col("bkt_n") <= maxBucket)
+    val l = small.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val r = small.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val allPairs = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val star = tagged
+      .where(col("bkt_n") > maxBucket && col("id") =!= col("bkt_hub"))
+      .select(col("bkt_hub").as("id_a"), col("id").as("id_b"))
+    val undirected = allPairs.union(star).dropDuplicates("id_a", "id_b")
+    val directed = undirected.union(
+      undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val a = u.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = u.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val scored = directed.join(a, "id_a").join(b, "id_b")
+      .withColumn("cos", dotUdf(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+    rankTopK(scored, k)
   }
 }

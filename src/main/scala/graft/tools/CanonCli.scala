@@ -19,6 +19,15 @@ import java.nio.file.{Files, Paths}
   * a local session) instead of the in-process kernel — same bytes.
   */
 object CanonCli {
+  /** Canonical N-Quads are UTF-8 by definition — write raw UTF-8
+    * bytes so the output is byte-exact regardless of the platform
+    * console charset (an unset LANG otherwise mangles non-ASCII
+    * through PrintStream's locale encoder). */
+  private def emit(s: String): Unit = {
+    System.out.write(s.getBytes(UTF_8))
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println("usage: CanonCli <input.nq> [--spark] [--limit N] [--sha384] [--map]"); sys.exit(2) }
     val path = args(0)
@@ -44,15 +53,15 @@ object CanonCli {
       val quads = CanonEngine.parseDocuments(docs)
       val res = CanonEngine.canonicalizePerGraph(quads, opts).collect().head
       if (res.status != "ok") { System.err.println(s"error: ${res.status}"); spark.stop(); sys.exit(1) }
-      print(if (wantMap) res.issuedMapJson + "\n" else res.canonicalNQuads)
+      emit(if (wantMap) res.issuedMapJson + "\n" else res.canonicalNQuads)
       spark.stop()
     } else {
       try {
         val quads = NQuadsParser.parseDocument(text)
         if (wantMap) {
           val m = graft.canon.Rdfc10.issue(quads, opts).issuedMap
-          println(m.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
-        } else print(graft.canon.Rdfc10.canonicalize(quads, opts))
+          emit(m.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}") + "\n")
+        } else emit(graft.canon.Rdfc10.canonicalize(quads, opts))
       } catch {
         case e: graft.canon.CanonException =>
           System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
