@@ -17,11 +17,18 @@ final class HndqCallLimitExceededException(val limit: Int)
     extends CanonException(s"HNDQ call limit exceeded: $limit")
 
 /** Options (reference `CanonicalizationOptions`, `src/api.rs:137-140`,
-  * default call limit `src/counter.rs:4`; hash dispatch `src/lib.rs:87-102`). */
+  * default call limit `src/counter.rs:4`; hash dispatch `src/lib.rs:87-102`).
+  * `perNodeCounter` selects the reference's `PerNodeHndqCallCounter`
+  * (`src/counter.rs:58-114`) instead of the global budget. */
 final case class CanonOptions(
     hndqCallLimit: Int = CanonOptions.DefaultHndqCallLimit,
-    hashAlgorithm: String = "SHA-256"
-)
+    hashAlgorithm: String = "SHA-256",
+    perNodeCounter: Boolean = false
+) {
+  def newCounter(): HndqCallCounter =
+    if (perNodeCounter) new PerNodeHndqCallCounter(hndqCallLimit)
+    else new SimpleHndqCallCounter(hndqCallLimit)
+}
 object CanonOptions {
   val DefaultHndqCallLimit = 4000
   val default: CanonOptions = CanonOptions()
@@ -35,7 +42,7 @@ object CanonOptions {
   * lexicographically inverting a HashMap, `src/canon.rs:434-440`,
   * which equals insertion order only while < 11 temporary ids exist
   * in one HNDQ result; no W3C fixture exercises more. We follow the
-  * spec; divergence documented.)
+  * spec; divergence documented and pinned by a regression test.)
   */
 final class IdentifierIssuer(val prefix: String) {
   private[canon] var counter: Int = 0
@@ -62,6 +69,13 @@ final class IdentifierIssuer(val prefix: String) {
     c
   }
 
+  /** The reference's `serialize_issued_identifiers_map`
+    * (`src/canon.rs:173-181`) renders `{k: v, k2: v2}`. The reference
+    * iterates a Rust HashMap (arbitrary order); we emit issuance
+    * order — trace-equality tests normalize the entries. */
+  def serializeMap: String =
+    issued.iterator.map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}")
+
   def toMap: Map[String, String] = issued.toMap
   def size: Int = issued.size
 }
@@ -77,6 +91,13 @@ final class IdentifierIssuer(val prefix: String) {
   * (`/root/reference/src/canon.rs:196-480`) and its subroutines; the
   * code is a fresh implementation against the spec with the
   * reference's observable quirks preserved (noted inline).
+  *
+  * Pass a [[YamlTraceLogger]] to emit the spec's YAML debug trace
+  * (log points ca.2…hndq.6, reference `src/logger.rs` + golden traces
+  * `tests/rdfc10_supplement/testNNN.log.yml`). With the default
+  * [[NoopTraceLogger]] every log site is a no-op and H1DQ stays
+  * memoized; in trace mode H1DQ recomputes per call like the
+  * reference so nested h1dq spans appear at the right log points.
   */
 object Rdfc10 {
 
@@ -98,6 +119,11 @@ object Rdfc10 {
     new String(out)
   }
 
+  /** Rust `{:?}` rendering of a list of strings, used by trace lines
+    * (`identifier list: ["e0", "e1"]`, `- perm: [...]`). */
+  private def debugList(xs: Iterable[String]): String =
+    xs.iterator.map(s => "\"" + s + "\"").mkString("[", ", ", "]")
+
   /** 4.2 Canonicalization state. The mention list is built per bnode
     * POSITION — a quad with the same bnode as both subject and object
     * appears twice in that bnode's list, exactly like the reference's
@@ -106,12 +132,16 @@ object Rdfc10 {
     */
   /** package-private so the digest-pinned unit tests (ported from the
     * reference, `src/canon.rs:1158-1427`) can drive the internals. */
-  private[canon] final class State(quads: IndexedSeq[Quad], opts: CanonOptions) {
+  private[canon] final class State(quads: IndexedSeq[Quad], opts: CanonOptions,
+                                   log: TraceLogger = NoopTraceLogger,
+                                   counter: HndqCallCounter = null) {
     val mentions = new mutable.TreeMap[String, mutable.ArrayBuffer[Quad]]()(CodePointOrdering)
     val canonicalIssuer = new IdentifierIssuer("c14n")
     private val h1dqCache = new mutable.HashMap[String, String]
     private val md = newDigest(opts.hashAlgorithm)
-    var hndqCalls: Int = 0
+    private[canon] val callCounter: HndqCallCounter =
+      if (counter != null) counter else opts.newCounter()
+    def hndqCalls: Int = callCounter.sum
 
     quads.foreach { q =>
       if (q.subjectIsBNode) mentions.getOrElseUpdate(q.s, new mutable.ArrayBuffer[Quad]) += q
@@ -124,10 +154,16 @@ object Rdfc10 {
     /** 4.6 Hash First Degree Quads. Pure function of the (immutable
       * after construction) mention map, so memoized — the reference
       * recomputes it on every HRBN fallback (`src/canon.rs:635`);
-      * results are identical, this is just faster.
+      * results are identical, this is just faster. In trace mode the
+      * memo is bypassed so each call emits its h1dq span like the
+      * reference.
       */
     def h1dq(refId: String): String =
-      h1dqCache.getOrElseUpdate(refId, {
+      if (log.isEnabled) h1dqCompute(refId)
+      else h1dqCache.getOrElseUpdate(refId, h1dqCompute(refId))
+
+    private def h1dqCompute(refId: String): String =
+      log.span("h1dq", "log point: Hash First Degree Quads function (4.6.3).") {
         val quadsFor = mentions.getOrElse(refId, throw new QuadsNotExistException)
         val lines = new Array[String](quadsFor.length)
         var i = 0
@@ -143,25 +179,43 @@ object Rdfc10 {
           lines(i) = NQuadsWriter.quadBody(proj, sb).append(" .\n").toString
           i += 1
         }
+        if (log.isEnabled) {
+          log.event("nquads:")
+          lines.foreach(l => log.event(1, "- " + l.stripSuffix("\n")))
+        }
         java.util.Arrays.sort(lines, CodePointOrdering)
-        hash(lines.mkString)
-      })
+        val h = hash(lines.mkString)
+        log.event("hash: " + h)
+        h
+      }
 
     /** 4.7 Hash Related Blank Node (reference `src/canon.rs:602-654`). */
     def hrbn(related: String, quad: Quad, issuer: IdentifierIssuer,
              position: Char): String = {
+      if (log.isEnabled) {
+        log.event("- position: " + position)
+        log.event(1, "related: " + related)
+      }
       val sb = new StringBuilder(96)
       sb.append(position)
       if (position != 'g') sb.append('<').append(quad.p).append('>')
-      canonicalIssuer.get(related) match {
-        case Some(id) => sb.append("_:").append(id)
-        case None =>
-          issuer.get(related) match {
-            case Some(id) => sb.append("_:").append(id)
-            case None     => sb.append(h1dq(related))
-          }
+      // step 3/4 run inside an anonymous span so a fallback h1dq's
+      // trace nests one level deeper (reference src/canon.rs:627)
+      log.span("") {
+        canonicalIssuer.get(related) match {
+          case Some(id) => sb.append("_:").append(id)
+          case None =>
+            issuer.get(related) match {
+              case Some(id) => sb.append("_:").append(id)
+              case None     => sb.append(h1dq(related))
+            }
+        }
       }
-      hash(sb.toString)
+      val input = sb.toString
+      log.event(1, "input: \"" + input + "\"")
+      val h = hash(input)
+      log.event(1, "hash: " + h)
+      h
     }
 
     /** 4.8 Hash N-Degree Quads — the gossip path (reference
@@ -170,97 +224,188 @@ object Rdfc10 {
       * group greedily keeping the code-point-least path, prune a
       * permutation as soon as its partial path >= the chosen path
       * (branch-and-bound both before and after recursion), recurse into
-      * bnodes the issuer copy has not seen. Global call budget guards
-      * poison inputs (`src/counter.rs`, checked on entry).
+      * bnodes the issuer copy has not seen. Call budget guards poison
+      * inputs (`src/counter.rs`, checked on entry).
       */
     def hndq(identifier: String,
-             pathIssuer: IdentifierIssuer): (String, IdentifierIssuer) = {
-      hndqCalls += 1
-      if (hndqCalls > opts.hndqCallLimit)
-        throw new HndqCallLimitExceededException(opts.hndqCallLimit)
+             pathIssuer: IdentifierIssuer): (String, IdentifierIssuer) =
+      log.span("hndq", "log point: Hash N-Degree Quads function (4.8.3).") {
+        if (log.isEnabled) {
+          log.event("identifier: " + identifier)
+          log.event("issuer: " + pathIssuer.serializeMap)
+        }
+        callCounter.add(identifier)
 
-      var issuer = pathIssuer.copyOf()
+        var issuer = pathIssuer.copyOf()
 
-      // 1-3) Hn: related hash -> bnode list (duplicates per occurrence)
-      val hn = new mutable.TreeMap[String, mutable.ArrayBuffer[String]]()(CodePointOrdering)
-      val quadsFor = mentions.getOrElse(identifier, throw new QuadsNotExistException)
-      quadsFor.foreach { q =>
-        if (q.subjectIsBNode && q.s != identifier)
-          hn.getOrElseUpdate(hrbn(q.s, q, issuer, 's'), new mutable.ArrayBuffer[String]) += q.s
-        if (q.objectIsBNode && q.o != identifier)
-          hn.getOrElseUpdate(hrbn(q.o, q, issuer, 'o'), new mutable.ArrayBuffer[String]) += q.o
-        if (q.graphIsBNode && q.g != identifier)
-          hn.getOrElseUpdate(hrbn(q.g, q, issuer, 'g'), new mutable.ArrayBuffer[String]) += q.g
-      }
-
-      // 4-5) fold each related-hash group into data to hash
-      val dataToHash = new StringBuilder(256)
-      hn.foreach { case (relatedHash, bnodeList) =>
-        dataToHash.append(relatedHash)
-        var chosenPath = ""
-        var chosenIssuer: IdentifierIssuer = null
-
-        // 5.4) distinct permutations only: duplicate bnode ids in the
-        // list yield byte-identical paths, so enumerating repeats
-        // (as itertools does) cannot change the minimum.
-        val perms = bnodeList.toList.permutations
-        permLoop(perms)
-
-        def permLoop(perms: Iterator[List[String]]): Unit = {
-          while (perms.hasNext) {
-            val p = perms.next()
-            var issuerCopy = issuer.copyOf()
-            val pathSb = new StringBuilder(64)
-            val recursionList = new mutable.ArrayBuffer[String]
-            var pruned = false
-
-            // 5.4.4
-            val it = p.iterator
-            while (!pruned && it.hasNext) {
-              val related = it.next()
-              canonicalIssuer.get(related) match {
-                case Some(cid) => pathSb.append("_:").append(cid)
-                case None =>
-                  if (issuerCopy.get(related).isEmpty) recursionList += related
-                  pathSb.append("_:").append(issuerCopy.issue(related))
+        // 1-3) Hn: related hash -> bnode list (duplicates per occurrence)
+        val hn = new mutable.TreeMap[String, mutable.ArrayBuffer[String]]()(CodePointOrdering)
+        val quadsFor = mentions.getOrElse(identifier, throw new QuadsNotExistException)
+        log.span("hndq.2", "log point: Quads for identifier (4.8.3 (2)).") {
+          if (log.isEnabled) {
+            log.event("quads:")
+            quadsFor.foreach(q => log.event(1, "- " + NQuadsWriter.quadBody(q)))
+          }
+        }
+        log.span("hndq.3", "log point: Hash N-Degree Quads function (4.8.3 (3)).") {
+          log.event("with:")
+          quadsFor.foreach { q =>
+            log.event(1, "- quad: " + NQuadsWriter.quadBody(q))
+            log.span("hndq.3.1",
+              "log point: Hash related bnode component (4.8.3 (3.1)).", 2) {
+              var logged = false
+              def withOnce(): Unit =
+                if (log.isEnabled && !logged) { log.event("with:"); logged = true }
+              if (q.subjectIsBNode && q.s != identifier) {
+                withOnce()
+                hn.getOrElseUpdate(hrbn(q.s, q, issuer, 's'), new mutable.ArrayBuffer[String]) += q.s
               }
-              if (chosenPath.nonEmpty && pathSb.length >= chosenPath.length &&
-                  CodePointOrdering.compare(pathSb.toString, chosenPath) >= 0)
-                pruned = true
-            }
-
-            // 5.4.5 recursion
-            if (!pruned) {
-              val rit = recursionList.iterator
-              while (!pruned && rit.hasNext) {
-                val related = rit.next()
-                val (rHash, rIssuer) = hndq(related, issuerCopy)
-                pathSb.append("_:").append(issuerCopy.issue(related))
-                pathSb.append('<').append(rHash).append('>')
-                issuerCopy = rIssuer
-                if (chosenPath.nonEmpty && pathSb.length >= chosenPath.length &&
-                    CodePointOrdering.compare(pathSb.toString, chosenPath) >= 0)
-                  pruned = true
+              if (q.objectIsBNode && q.o != identifier) {
+                withOnce()
+                hn.getOrElseUpdate(hrbn(q.o, q, issuer, 'o'), new mutable.ArrayBuffer[String]) += q.o
+              }
+              if (q.graphIsBNode && q.g != identifier) {
+                withOnce()
+                hn.getOrElseUpdate(hrbn(q.g, q, issuer, 'g'), new mutable.ArrayBuffer[String]) += q.g
               }
             }
-
-            // 5.4.6
-            if (!pruned) {
-              val path = pathSb.toString
-              if (chosenPath.isEmpty || CodePointOrdering.compare(path, chosenPath) < 0) {
-                chosenPath = path
-                chosenIssuer = issuerCopy
-              }
+          }
+          if (log.isEnabled) {
+            log.event("Hash to bnodes:")
+            hn.foreach { case (h, bnodes) =>
+              log.event(1, h + ":")
+              bnodes.foreach(b => log.event(2, "- " + b))
             }
           }
         }
 
-        dataToHash.append(chosenPath)
-        if (chosenIssuer != null) issuer = chosenIssuer // 5.6
-      }
+        // 4-5) fold each related-hash group into data to hash
+        val dataToHash = new StringBuilder(256)
+        log.span("hndq.5",
+          "log point: Hash N-Degree Quads function (4.8.3 (5)), entering loop.") {
+          log.event("with:")
+          hn.foreach { case (relatedHash, bnodeList) =>
+            if (log.isEnabled) {
+              log.event(1, "- related hash: " + relatedHash)
+              log.event(2, "data to hash: \"" + dataToHash + "\"")
+            }
+            dataToHash.append(relatedHash)
+            var chosenPath = ""
+            var chosenIssuer: IdentifierIssuer = null
 
-      (hash(dataToHash.toString), issuer)
-    }
+            // 5.4) In fast mode enumerate DISTINCT permutations only:
+            // duplicate bnode ids yield byte-identical paths, so
+            // repeats (as itertools produces) cannot change the
+            // minimum. Trace mode replays the reference's positional
+            // enumeration so every `- perm:` line appears.
+            val perms: Iterator[Seq[String]] =
+              if (log.isEnabled)
+                bnodeList.indices.toList.permutations.map(p => p.map(bnodeList))
+              else bnodeList.toList.permutations
+
+            log.span("hndq.5.4",
+              "log point: Hash N-Degree Quads function (4.8.3 (5.4)), entering loop.", 2) {
+              var withLogged = false
+              while (perms.hasNext) {
+                val p = perms.next()
+                if (log.isEnabled) {
+                  if (!withLogged) { log.event("with:"); withLogged = true }
+                  log.event(1, "- perm: " + debugList(p))
+                }
+                var issuerCopy = issuer.copyOf()
+                val pathSb = new StringBuilder(64)
+                val recursionList = new mutable.ArrayBuffer[String]
+                var pruned = false
+
+                // 5.4.4
+                log.span("hndq.5.4.4",
+                  "log point: Hash N-Degree Quads function (4.8.3 (5.4.4)), entering loop.", 2) {
+                  log.event("with:")
+                  val it = p.iterator
+                  while (!pruned && it.hasNext) {
+                    val related = it.next()
+                    log.event(1, "- related: " + related)
+                    canonicalIssuer.get(related) match {
+                      case Some(cid) => pathSb.append("_:").append(cid)
+                      case None =>
+                        if (issuerCopy.get(related).isEmpty) recursionList += related
+                        pathSb.append("_:").append(issuerCopy.issue(related))
+                    }
+                    log.event(2, "path: \"" + pathSb + "\"")
+                    if (chosenPath.nonEmpty && pathSb.length >= chosenPath.length &&
+                        CodePointOrdering.compare(pathSb.toString, chosenPath) >= 0)
+                      pruned = true
+                  }
+                }
+
+                // 5.4.5 recursion
+                if (!pruned) {
+                  log.span("hndq.5.4.5",
+                    "log point: Hash N-Degree Quads function (4.8.3 (5.4.5)), before possible recursion.", 2) {
+                    if (log.isEnabled) {
+                      log.event("recursion list: " + debugList(recursionList))
+                      log.event("path: \"" + chosenPath + "\"")
+                      if (recursionList.nonEmpty) log.event("with:")
+                    }
+                    val rit = recursionList.iterator
+                    while (!pruned && rit.hasNext) {
+                      val related = rit.next()
+                      log.event(1, "- related: " + related)
+                      val (rHash, rIssuer) = log.span("", "", 1) { hndq(related, issuerCopy) }
+                      pathSb.append("_:").append(issuerCopy.issue(related))
+                      pathSb.append('<').append(rHash).append('>')
+                      issuerCopy = rIssuer
+                      // the golden traces pin this span at delta 0 (the
+                      // reference source says indent=2, but all four
+                      // goldens print it at base(5.4.5) — follow the
+                      // fixtures, they are the oracle)
+                      log.span("hndq.5.4.5.4",
+                        "log point: Hash N-Degree Quads function (4.8.3 (5.4.5.4)), combine result of recursion.", 0) {
+                        if (log.isEnabled) {
+                          log.event("path: \"" + pathSb + "\"")
+                          log.event("issuer copy: " + issuerCopy.serializeMap)
+                        }
+                      }
+                      if (chosenPath.nonEmpty && pathSb.length >= chosenPath.length &&
+                          CodePointOrdering.compare(pathSb.toString, chosenPath) >= 0)
+                        pruned = true
+                    }
+                  }
+                }
+
+                // 5.4.6
+                if (!pruned) {
+                  val path = pathSb.toString
+                  if (chosenPath.isEmpty || CodePointOrdering.compare(path, chosenPath) < 0) {
+                    chosenPath = path
+                    chosenIssuer = issuerCopy
+                  }
+                }
+              }
+            }
+
+            log.span("hndq.5.5",
+              "log point: Hash N-Degree Quads function (4.8.3 (5.5). End of current loop with Hn hashes.", 2) {
+              if (log.isEnabled) {
+                log.event("chosen path: \"" + chosenPath + "\"")
+                log.event("data to hash: \"" + dataToHash + chosenPath + "\"")
+              }
+            }
+            dataToHash.append(chosenPath)
+            if (chosenIssuer != null) issuer = chosenIssuer // 5.6
+          }
+        }
+
+        log.span("hndq.6",
+          "log point: Leaving Hash N-Degree Quads function (4.8.3 (6)).") {
+          val h = hash(dataToHash.toString)
+          if (log.isEnabled) {
+            log.event("hash: " + h)
+            log.event("issuer: " + issuer.serializeMap)
+          }
+          (h, issuer)
+        }
+      }
   }
 
   /** 4.4.3 Canonicalization Algorithm: input quads (set semantics
@@ -268,43 +413,109 @@ object Rdfc10 {
     * issuance order. Reference: `src/canon.rs:196-480`.
     */
   def issue(inputQuads: Seq[Quad],
-            opts: CanonOptions = CanonOptions.default): IssueResult = {
+            opts: CanonOptions = CanonOptions.default,
+            log: TraceLogger = NoopTraceLogger): IssueResult = {
     val quads: IndexedSeq[Quad] = inputQuads.distinct.toIndexedSeq
-    val state = new State(quads, opts)
+    log.span("ca", "log point: Entering the canonicalization function (4.4.3).") {
+      val state = new State(quads, opts, log)
 
-    // 3) H1DQ for every mentioned bnode, grouped by hash
-    val hashToBNodes = new mutable.TreeMap[String, mutable.ArrayBuffer[String]]()(CodePointOrdering)
-    state.mentions.keysIterator.foreach { n =>
-      hashToBNodes.getOrElseUpdate(state.h1dq(n), new mutable.ArrayBuffer[String]) += n
-    }
-
-    // 4) unique-hash shortcut: issue canonical ids immediately
-    val shared = hashToBNodes.filter { case (_, ids) => ids.length > 1 }
-    hashToBNodes.foreach { case (_, ids) =>
-      if (ids.length == 1) state.canonicalIssuer.issue(ids(0))
-    }
-
-    // 5) shared hashes → HNDQ per unissued bnode
-    shared.foreach { case (_, identifierList) =>
-      val hashPathList = new mutable.ArrayBuffer[(String, IdentifierIssuer)]
-      identifierList.foreach { n =>
-        if (state.canonicalIssuer.get(n).isEmpty) {
-          val temp = new IdentifierIssuer("b")
-          temp.issue(n)
-          hashPathList += state.hndq(n, temp)
+      log.span("ca.2", "log point: Extract quads for each bnode (4.4.3 (2)).") {
+        if (log.isEnabled) {
+          log.event("Bnode to quads:")
+          state.mentions.foreach { case (id, qs) =>
+            log.event(1, id + ":")
+            qs.foreach(q => log.event(2, "- " + NQuadsWriter.quadBody(q) + " ."))
+          }
         }
       }
-      // 5.3) code point ordered by hash; stable like Rust sort()
-      val sorted = hashPathList.sortBy(_._1)(CodePointOrdering)
-      sorted.foreach { case (_, resultIssuer) =>
-        // 5.3.1) replay temporary issuance order (see IdentifierIssuer note)
-        resultIssuer.existingInIssuanceOrder.foreach(state.canonicalIssuer.issue)
-      }
-    }
 
-    IssueResult(state.canonicalIssuer.toMap,
-                state.canonicalIssuer.existingInIssuanceOrder.toVector,
-                state.hndqCalls, quads)
+      // 3) H1DQ for every mentioned bnode, grouped by hash
+      val hashToBNodes = new mutable.TreeMap[String, mutable.ArrayBuffer[String]]()(CodePointOrdering)
+      log.span("ca.3", "log point: Calculated first degree hashes (4.4.3 (3)).") {
+        log.event("with:")
+        state.mentions.keysIterator.foreach { n =>
+          log.event(1, "- identifier: " + n)
+          val h = log.span("", "", 1) { state.h1dq(n) }
+          hashToBNodes.getOrElseUpdate(h, new mutable.ArrayBuffer[String]) += n
+        }
+      }
+
+      // 4) unique-hash shortcut: issue canonical ids immediately
+      val shared = hashToBNodes.filter { case (_, ids) => ids.length > 1 }
+      log.span("ca.4",
+        "log point: Create canonical replacements for hashes mapping to a single node (4.4.3 (4)).") {
+        log.event("with:")
+        hashToBNodes.foreach { case (h, ids) =>
+          if (ids.length == 1) {
+            if (log.isEnabled) {
+              log.event(1, "- identifier: " + ids(0))
+              log.event(2, "hash: " + h)
+            }
+            val cid = state.canonicalIssuer.issue(ids(0))
+            log.event(2, "canonical label: " + cid)
+          }
+        }
+      }
+
+      // 5) shared hashes → HNDQ per unissued bnode
+      log.span("ca.5",
+        "log point: Calculate hashes for identifiers with shared hashes (4.4.3 (5)).") {
+        log.event("with:")
+        shared.foreach { case (h, identifierList) =>
+          if (log.isEnabled) {
+            log.event(1, "- hash: " + h)
+            log.event(2, "identifier list: " + debugList(identifierList))
+          }
+          val hashPathList = new mutable.ArrayBuffer[(String, IdentifierIssuer)]
+          log.span("ca.5.2",
+            "log point: Calculate hashes for identifiers with shared hashes (4.4.3 (5.2)).", 2) {
+            log.event("with:")
+            identifierList.foreach { n =>
+              log.event(1, "- identifier: " + n)
+              if (state.canonicalIssuer.get(n).isEmpty) {
+                val temp = new IdentifierIssuer("b")
+                temp.issue(n)
+                hashPathList += log.span("", "", 1) { state.hndq(n, temp) }
+              }
+            }
+          }
+          // 5.3) code point ordered by hash; stable like Rust sort()
+          log.span("ca.5.3",
+            "log point: Canonical identifiers for temporary identifiers (4.4.3 (5.3)).", 2) {
+            val sorted = hashPathList.sortBy(_._1)(CodePointOrdering)
+            if (log.isEnabled &&
+                sorted.iterator.sliding(2).exists(w => w.size == 2 && w.head._1 == w(1)._1))
+              log.event("has duplicate hashes: true")
+            if (sorted.nonEmpty) log.event("with:")
+            sorted.foreach { case (rHash, resultIssuer) =>
+              if (log.isEnabled) {
+                log.event(1, "- result: " + rHash)
+                log.event(2, "issuer: " + resultIssuer.serializeMap)
+              }
+              // 5.3.1) replay temporary issuance order (see IdentifierIssuer note)
+              log.span("ca.5.3.1", "", 2) {
+                resultIssuer.existingInIssuanceOrder.foreach { existing =>
+                  log.event("- existing identifier: " + existing)
+                  val cid = state.canonicalIssuer.issue(existing)
+                  log.event(1, "cid: " + cid)
+                }
+              }
+            }
+          }
+        }
+      }
+
+      log.span("ca.6", "log point: Replace original with canonical labels (4.4.3 (6)).") {
+        if (log.isEnabled) {
+          log.event("issued identifiers map: " + state.canonicalIssuer.serializeMap)
+          log.event("hndq_call_counter: " + state.callCounter.traceRepr)
+        }
+      }
+
+      IssueResult(state.canonicalIssuer.toMap,
+                  state.canonicalIssuer.existingInIssuanceOrder.toVector,
+                  state.hndqCalls, quads)
+    }
   }
 
   final case class IssueResult(
@@ -332,8 +543,9 @@ object Rdfc10 {
     * (reference `canonicalize_with`, `src/api.rs:183-190`:
     * issue → relabel → serialize). */
   def canonicalize(inputQuads: Seq[Quad],
-                   opts: CanonOptions = CanonOptions.default): String = {
-    val res = issue(inputQuads, opts)
+                   opts: CanonOptions = CanonOptions.default,
+                   log: TraceLogger = NoopTraceLogger): String = {
+    val res = issue(inputQuads, opts, log)
     NQuadsWriter.serializeDocument(relabel(res.dedupedQuads, res.issuedMap))
   }
 
@@ -346,5 +558,5 @@ object Rdfc10 {
   /** Canonicalized dataset → quads sorted in code point order of their
     * serialized form (reference `sort`, `src/api.rs:859-863`). */
   def sortQuads(quads: Seq[Quad]): Seq[Quad] =
-    quads.sortBy(NQuadsWriter.quadBody)(CodePointOrdering)
+    quads.sortBy(NQuadsWriter.quadBody(_: Quad))(CodePointOrdering)
 }

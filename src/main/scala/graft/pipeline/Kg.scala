@@ -230,6 +230,7 @@ object Kg {
       .as[(String, String, String, Long)]
     val limit = opts.hndqCallLimit
     val alg = opts.hashAlgorithm
+    val perNode = opts.perNodeCounter
     m.groupByKey(_._1).mapGroups { (repo, it) =>
       val perFile = new scala.collection.mutable.HashMap[String, mutable.ArrayBuffer[(Long, String)]]
       it.foreach { case (_, path, ent, off) =>
@@ -255,7 +256,7 @@ object Kg {
         }
       }
       graft.spark.CanonEngine.canonicalizeOne(repo, quads.toVector,
-        graft.canon.CanonOptions(limit, alg))
+        graft.canon.CanonOptions(limit, alg, perNode))
     }
   }
 

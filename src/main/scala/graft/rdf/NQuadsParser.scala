@@ -132,11 +132,17 @@ object NQuadsParser {
         fail("expected '_:'")
       i += 2
       val start = i
-      // permissive PN_CHARS: run to whitespace/EOL; strip no trailing dot
-      // because fixtures always separate label and '.' with a space.
+      // permissive PN_CHARS: run to whitespace/EOL. Per the N-Quads
+      // grammar a label may contain '.' only medially, so trailing
+      // dots are NOT part of the label — they stay in the stream for
+      // the statement terminator ("_:b." is a valid statement end
+      // without a separating space).
       while (i < n && !isWs(line.charAt(i))) i += 1
-      if (i == start) fail("empty blank node label")
-      line.substring(start, i)
+      var end = i
+      while (end > start && line.charAt(end - 1) == '.') end -= 1
+      if (end == start) fail("empty blank node label")
+      i = end
+      line.substring(start, end)
     }
 
     private def isWs(c: Char): Boolean = c == ' ' || c == '\t'

@@ -110,10 +110,11 @@ object CanonEngine {
     import spark.implicits._
     val limit = opts.hndqCallLimit
     val alg = opts.hashAlgorithm
+    val perNode = opts.perNodeCounter
     quads
       .groupByKey(_.key)
       .flatMapGroups { (key: String, it: Iterator[KeyedQuad]) =>
-        val o = CanonOptions(limit, alg)
+        val o = CanonOptions(limit, alg, perNode)
         Iterator.single(canonicalizeOne(key, it.map(_.quad).toVector, o))
       }
   }

@@ -59,6 +59,59 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L), "far doc must not pair")
   }
 
+  test("hot-bucket guard: identical-doc flood degrades to star pairs, bounded") {
+    // 3000 identical docs all land in the same LSH buckets; without the
+    // guard that is a 4.5M-pair self-join per band. With maxBucket=100
+    // the bucket degrades to star pairs: every member links to the hub
+    // (min id), all verified at jaccard 1.0 — the duplicate cluster
+    // stays connected at O(n) cost.
+    val text = "identical boilerplate content repeated across the corpus many times over"
+    val d = docs((0L until 3000L).map(i => (i, text)): _*)
+    val out = Dedup.minhashLshPairs(d, threshold = 0.9, maxBucket = 100).collect()
+    assert(out.length == 2999, s"star pairs: ${out.length}")
+    assert(out.forall(_.getLong(0) == 0L), "all pairs must link to the hub (min id)")
+    assert(out.forall(_.getDouble(2) == 1.0))
+
+    val sim = Dedup.simhashPairs(d, maxHamming = 3, maxBucket = 100).collect()
+    assert(sim.length == 2999, s"simhash star pairs: ${sim.length}")
+    assert(sim.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+  }
+
+  test("ngram jaccard over-df star recovers clusters larger than maxDf") {
+    // 150 identical docs with maxDf=100: every shared shingle has
+    // df=150 > maxDf, so the rare-shingle index is EMPTY (the round-1
+    // silent recall hole). The over-df star links the first maxDf ids
+    // to the min id instead of emitting nothing.
+    val text = "duplicate cluster content that is much longer than the shingle window"
+    val d = docs((1L to 150L).map(i => (i, text)): _*)
+    val out = Dedup.ngramJaccardPairs(d, threshold = 0.9, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 100, s"over-df star pairs: ${out.length}")
+    assert(out.forall(_._1 == 1L))
+    assert(out.map(_._2).toSet == (2L to 101L).toSet)
+
+    val stats = Dedup.ngramShingleStats(d, maxDf = 100).head()
+    assert(stats.getAs[Long]("n_overdf") == stats.getAs[Long]("n_shingles"))
+    assert(stats.getAs[Long]("n_docs_unindexed") == 150L)
+  }
+
+  test("simhash emitted set is exactly the hamming<=h set (pigeonhole chunks)") {
+    // vary a few tokens among many so hamming distances straddle the cut
+    val base = (1 to 40).map(i => s"tok$i")
+    val rows = (0L until 12L).map { i =>
+      (i, base.updated(0, s"var${i % 4}").updated(1, s"w${i % 3}").mkString(" "))
+    }
+    val d = docs(rows: _*)
+    val sims = rows.map { case (i, t) => i -> Dedup.simhash64(t) }.toMap
+    val expect = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(d, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
   test("cosine top-k ranks an identical vector first") {
     import spark.implicits._
     val vecs = Seq(
