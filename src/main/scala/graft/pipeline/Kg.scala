@@ -135,8 +135,19 @@ object Kg {
       val candidates = sym
         .join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("label"))
-      val next = labels.union(candidates)
+      val propagated = labels.union(candidates)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer jumping: also adopt the label OF my label (labels are
+      // always vertex names, so the lookup is a self-join). Chains
+      // halve every iteration -> convergence in O(log diameter)
+      // instead of O(diameter); a >maxIter-hop alias chain would
+      // otherwise be SILENTLY left split.
+      val parent = propagated
+        .select(col("id").as("p_id"), col("label").as("p_label"))
+      val next = propagated
+        .join(parent, propagated("label") === parent("p_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
         .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
@@ -146,6 +157,10 @@ object Kg {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"(component diameter > ~2^$maxIter); raise maxIter")
     labels.select(col("id").as("entity"), col("label").as("canonical"))
   }
 

@@ -40,22 +40,27 @@ object EventStream {
                               session_end: Timestamp, n_events: Int,
                               sum_value: Double)
 
+  private def flush(uid: Long, st: SessionState): SessionOut =
+    SessionOut(uid, new Timestamp(st.start), new Timestamp(st.last), st.n, st.sum)
+
   /** Custom-state sessionization: a session closes after `gapMs` of
     * user inactivity. The state per user is O(1) — start/last/count/
     * sum — regardless of session length.
     *
     * Streaming (`flushTrailing = false`): open sessions stay in the
-    * `GroupState` and close when a later batch shows a gap.
+    * `GroupState` and close when a later batch shows a gap. Each
+    * micro-batch group IS buffered to sort it — bounded by the
+    * micro-batch size, which the trigger controls.
     * Batch/backfill (`flushTrailing = true`): no further batch will
-    * come, so the trailing open session is emitted too.
+    * come; routed to [[sessionizeBatch]], which never buffers a
+    * user's events (a mega-user in backfill would otherwise
+    * materialize its entire history in one task).
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long = 600000L,
                  flushTrailing: Boolean = false): Dataset[SessionOut] = {
+    if (flushTrailing) return sessionizeBatch(events, gapMs)
     val spark = events.sparkSession
     import spark.implicits._
-
-    def flush(uid: Long, st: SessionState): SessionOut =
-      SessionOut(uid, new Timestamp(st.start), new Timestamp(st.last), st.n, st.sum)
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -76,11 +81,65 @@ object EventStream {
                 st = SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value)
             }
           }
-          if (st != null) {
-            if (flushTrailing) { out += flush(uid, st); state.remove() }
-            else state.update(st)
-          } else state.remove()
+          if (st != null) state.update(st) else state.remove()
           out.result().iterator
+      }
+  }
+
+  /** Batch/backfill sessionization with BOUNDED memory: one shuffle on
+    * user_id with an in-partition secondary sort on (user_id, ts,
+    * value) — Spark's sort is external/spillable — then a single
+    * streaming scan per partition holding only the current O(1)
+    * session state. A user with a billion events costs zero extra
+    * task memory, unlike any formulation that materializes the
+    * per-user group (`rows.toSeq.sortBy`, collect_list, ...).
+    * Same tie-break as the streaming path, so results agree. */
+  def sessionizeBatch(events: Dataset[SessionEvent],
+                      gapMs: Long = 600000L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .mapPartitions { it =>
+        new Iterator[SessionOut] {
+          private var pending: SessionOut = _
+          private var uid = 0L
+          private var st: SessionState = _
+
+          private def step(): Unit = {
+            while (pending == null && it.hasNext) {
+              val e = it.next()
+              val t = e.ts.getTime
+              if (st == null) {
+                uid = e.user_id
+                st = SessionState(t, t, 1, e.value)
+              } else if (e.user_id != uid) {
+                pending = flush(uid, st)
+                uid = e.user_id
+                st = SessionState(t, t, 1, e.value)
+              } else if (t - st.last > gapMs) {
+                pending = flush(uid, st)
+                st = SessionState(t, t, 1, e.value)
+              } else {
+                st = SessionState(st.start, math.max(st.last, t), st.n + 1, st.sum + e.value)
+              }
+            }
+            if (pending == null && st != null) { // trailing open session
+              pending = flush(uid, st)
+              st = null
+            }
+          }
+
+          override def hasNext: Boolean = { step(); pending != null }
+          override def next(): SessionOut = {
+            step()
+            val r = pending
+            pending = null
+            r
+          }
+        }
       }
   }
 }

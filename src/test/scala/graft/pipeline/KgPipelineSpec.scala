@@ -46,6 +46,25 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(cc == Map("A" -> "A", "B" -> "A", "C" -> "A", "D" -> "D", "E" -> "D"))
   }
 
+  test("distributed CC converges on a chain longer than maxIter hops") {
+    // 60-hop alias chain through the DISTRIBUTED path (smallThreshold
+    // 0): plain min-label propagation needs 59 iterations and was
+    // silently returning split components at maxIter=20; pointer
+    // jumping converges in O(log n) and non-convergence now throws.
+    import spark.implicits._
+    val names = (0 until 60).map(i => f"n$i%03d")
+    val vertices = names.toDF("name")
+    val edges = spark.createDataset(
+      (1 until 60).map(i => AliasEdge(f"n$i%03d", f"n${i - 1}%03d")))
+    val cc = Kg.connectedComponents(vertices, edges, maxIter = 20, smallThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc.values.toSet == Set("n000"), s"split components: ${cc.values.toSet}")
+    // driver union-find path agrees
+    val small = Kg.connectedComponents(vertices, edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(small == cc)
+  }
+
   test("end-to-end pipeline: P/R = 1, all graphs ok, resume skips stages") {
     val work = Files.createTempDirectory("kgtest").toString
     val r1 = KgPipeline.run(spark, work, cfg)

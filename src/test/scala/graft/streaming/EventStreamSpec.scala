@@ -71,4 +71,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(sessions.count(_.user_id == 1L) == 2)
     assert(sessions.count(_.user_id == 2L) == 1)
   }
+
+  test("backfill sessionization streams a mega-user without buffering") {
+    import spark.implicits._
+    // one user, 300k events, a gap every 1000 events -> 300 sessions.
+    // The batch path shuffles + sorts (spillable) and scans with O(1)
+    // state; the plan must not contain the group-materializing
+    // FlatMapGroupsWithState operator.
+    val n = 300000
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ds = spark.range(0, n, 1, 8).map { i =>
+      val sess = i / 1000
+      val ts = base + sess * 3600000L + (i % 1000) * 1000L
+      EventStream.SessionEvent(7L, new Timestamp(ts), 1.0)
+    }
+    val out = EventStream.sessionizeBatch(ds, gapMs = 600000L)
+    assert(!out.queryExecution.executedPlan.toString.contains("FlatMapGroupsWithState"))
+    val sessions = out.collect()
+    assert(sessions.length == 300)
+    assert(sessions.forall(s => s.n_events == 1000 && s.sum_value == 1000.0))
+  }
 }
