@@ -189,7 +189,11 @@ object Rdfc10 {
         h
       }
 
-    /** 4.7 Hash Related Blank Node (reference `src/canon.rs:602-654`). */
+    /** 4.7 Hash Related Blank Node (reference `src/canon.rs:602-654`).
+      * (Hot path: every `log` interaction is behind `isEnabled` so the
+      * disabled case allocates nothing — by-name args otherwise build
+      * a closure per call, and this kernel is DRAM-bandwidth-bound at
+      * high core counts.) */
     def hrbn(related: String, quad: Quad, issuer: IdentifierIssuer,
              position: Char): String = {
       if (log.isEnabled) {
@@ -201,7 +205,7 @@ object Rdfc10 {
       if (position != 'g') sb.append('<').append(quad.p).append('>')
       // step 3/4 run inside an anonymous span so a fallback h1dq's
       // trace nests one level deeper (reference src/canon.rs:627)
-      log.span("") {
+      def step34(): Unit =
         canonicalIssuer.get(related) match {
           case Some(id) => sb.append("_:").append(id)
           case None =>
@@ -210,11 +214,11 @@ object Rdfc10 {
               case None     => sb.append(h1dq(related))
             }
         }
-      }
+      if (log.isEnabled) log.span("")(step34()) else step34()
       val input = sb.toString
-      log.event(1, "input: \"" + input + "\"")
+      if (log.isEnabled) log.event(1, "input: \"" + input + "\"")
       val h = hash(input)
-      log.event(1, "hash: " + h)
+      if (log.isEnabled) log.event(1, "hash: " + h)
       h
     }
 
@@ -228,9 +232,16 @@ object Rdfc10 {
       * inputs (`src/counter.rs`, checked on entry).
       */
     def hndq(identifier: String,
-             pathIssuer: IdentifierIssuer): (String, IdentifierIssuer) =
-      log.span("hndq", "log point: Hash N-Degree Quads function (4.8.3).") {
-        if (log.isEnabled) {
+             pathIssuer: IdentifierIssuer): (String, IdentifierIssuer) = {
+      // Every span/event interaction sits behind an `isEnabled` branch:
+      // by-name arguments otherwise allocate a closure per call in the
+      // permutation/related loops, and the disabled kernel must stay
+      // allocation-lean (it is DRAM-bandwidth-bound at high core
+      // counts — BENCH/BASELINE.md §3). `traced` = trace fidelity
+      // mode, perf-irrelevant.
+      val traced = log.isEnabled
+      def body(): (String, IdentifierIssuer) = {
+        if (traced) {
           log.event("identifier: " + identifier)
           log.event("issuer: " + pathIssuer.serializeMap)
         }
@@ -241,171 +252,184 @@ object Rdfc10 {
         // 1-3) Hn: related hash -> bnode list (duplicates per occurrence)
         val hn = new mutable.TreeMap[String, mutable.ArrayBuffer[String]]()(CodePointOrdering)
         val quadsFor = mentions.getOrElse(identifier, throw new QuadsNotExistException)
-        log.span("hndq.2", "log point: Quads for identifier (4.8.3 (2)).") {
-          if (log.isEnabled) {
-            log.event("quads:")
-            quadsFor.foreach(q => log.event(1, "- " + NQuadsWriter.quadBody(q)))
-          }
+        if (traced) log.span("hndq.2", "log point: Quads for identifier (4.8.3 (2)).") {
+          log.event("quads:")
+          quadsFor.foreach(q => log.event(1, "- " + NQuadsWriter.quadBody(q)))
         }
-        log.span("hndq.3", "log point: Hash N-Degree Quads function (4.8.3 (3)).") {
+        def step3(): Unit = quadsFor.foreach { q =>
+          if (traced) log.event(1, "- quad: " + NQuadsWriter.quadBody(q))
+          var logged = false
+          def withOnce(): Unit =
+            if (traced && !logged) { log.event("with:"); logged = true }
+          def relate(): Unit = {
+            if (q.subjectIsBNode && q.s != identifier) {
+              withOnce()
+              hn.getOrElseUpdate(hrbn(q.s, q, issuer, 's'), new mutable.ArrayBuffer[String]) += q.s
+            }
+            if (q.objectIsBNode && q.o != identifier) {
+              withOnce()
+              hn.getOrElseUpdate(hrbn(q.o, q, issuer, 'o'), new mutable.ArrayBuffer[String]) += q.o
+            }
+            if (q.graphIsBNode && q.g != identifier) {
+              withOnce()
+              hn.getOrElseUpdate(hrbn(q.g, q, issuer, 'g'), new mutable.ArrayBuffer[String]) += q.g
+            }
+          }
+          if (traced) log.span("hndq.3.1",
+            "log point: Hash related bnode component (4.8.3 (3.1)).", 2)(relate())
+          else relate()
+        }
+        if (traced) log.span("hndq.3",
+          "log point: Hash N-Degree Quads function (4.8.3 (3)).") {
           log.event("with:")
-          quadsFor.foreach { q =>
-            log.event(1, "- quad: " + NQuadsWriter.quadBody(q))
-            log.span("hndq.3.1",
-              "log point: Hash related bnode component (4.8.3 (3.1)).", 2) {
-              var logged = false
-              def withOnce(): Unit =
-                if (log.isEnabled && !logged) { log.event("with:"); logged = true }
-              if (q.subjectIsBNode && q.s != identifier) {
-                withOnce()
-                hn.getOrElseUpdate(hrbn(q.s, q, issuer, 's'), new mutable.ArrayBuffer[String]) += q.s
-              }
-              if (q.objectIsBNode && q.o != identifier) {
-                withOnce()
-                hn.getOrElseUpdate(hrbn(q.o, q, issuer, 'o'), new mutable.ArrayBuffer[String]) += q.o
-              }
-              if (q.graphIsBNode && q.g != identifier) {
-                withOnce()
-                hn.getOrElseUpdate(hrbn(q.g, q, issuer, 'g'), new mutable.ArrayBuffer[String]) += q.g
-              }
-            }
-          }
-          if (log.isEnabled) {
-            log.event("Hash to bnodes:")
-            hn.foreach { case (h, bnodes) =>
-              log.event(1, h + ":")
-              bnodes.foreach(b => log.event(2, "- " + b))
-            }
+          step3()
+          log.event("Hash to bnodes:")
+          hn.foreach { case (h, bnodes) =>
+            log.event(1, h + ":")
+            bnodes.foreach(b => log.event(2, "- " + b))
           }
         }
+        else step3()
 
         // 4-5) fold each related-hash group into data to hash
         val dataToHash = new StringBuilder(256)
-        log.span("hndq.5",
-          "log point: Hash N-Degree Quads function (4.8.3 (5)), entering loop.") {
-          log.event("with:")
-          hn.foreach { case (relatedHash, bnodeList) =>
-            if (log.isEnabled) {
-              log.event(1, "- related hash: " + relatedHash)
-              log.event(2, "data to hash: \"" + dataToHash + "\"")
-            }
-            dataToHash.append(relatedHash)
-            var chosenPath = ""
-            var chosenIssuer: IdentifierIssuer = null
+        def step5(): Unit = hn.foreach { case (relatedHash, bnodeList) =>
+          if (traced) {
+            log.event(1, "- related hash: " + relatedHash)
+            log.event(2, "data to hash: \"" + dataToHash + "\"")
+          }
+          dataToHash.append(relatedHash)
+          var chosenPath = ""
+          var chosenIssuer: IdentifierIssuer = null
 
-            // 5.4) In fast mode enumerate DISTINCT permutations only:
-            // duplicate bnode ids yield byte-identical paths, so
-            // repeats (as itertools produces) cannot change the
-            // minimum. Trace mode replays the reference's positional
-            // enumeration so every `- perm:` line appears.
-            val perms: Iterator[Seq[String]] =
-              if (log.isEnabled)
-                bnodeList.indices.toList.permutations.map(p => p.map(bnodeList))
-              else bnodeList.toList.permutations
+          // 5.4) In fast mode enumerate DISTINCT permutations only:
+          // duplicate bnode ids yield byte-identical paths, so
+          // repeats (as itertools produces) cannot change the
+          // minimum. Trace mode replays the reference's positional
+          // enumeration so every `- perm:` line appears.
+          val perms: Iterator[Seq[String]] =
+            if (traced) bnodeList.indices.toList.permutations.map(p => p.map(bnodeList))
+            else bnodeList.toList.permutations
 
-            log.span("hndq.5.4",
-              "log point: Hash N-Degree Quads function (4.8.3 (5.4)), entering loop.", 2) {
-              var withLogged = false
-              while (perms.hasNext) {
-                val p = perms.next()
-                if (log.isEnabled) {
-                  if (!withLogged) { log.event("with:"); withLogged = true }
-                  log.event(1, "- perm: " + debugList(p))
+          def permLoop(): Unit = {
+            var withLogged = false
+            while (perms.hasNext) {
+              val p = perms.next()
+              if (traced) {
+                if (!withLogged) { log.event("with:"); withLogged = true }
+                log.event(1, "- perm: " + debugList(p))
+              }
+              var issuerCopy = issuer.copyOf()
+              val pathSb = new StringBuilder(64)
+              val recursionList = new mutable.ArrayBuffer[String]
+              var pruned = false
+
+              // 5.4.4
+              def step544(): Unit = {
+                val it = p.iterator
+                while (!pruned && it.hasNext) {
+                  val related = it.next()
+                  if (traced) log.event(1, "- related: " + related)
+                  canonicalIssuer.get(related) match {
+                    case Some(cid) => pathSb.append("_:").append(cid)
+                    case None =>
+                      if (issuerCopy.get(related).isEmpty) recursionList += related
+                      pathSb.append("_:").append(issuerCopy.issue(related))
+                  }
+                  if (traced) log.event(2, "path: \"" + pathSb + "\"")
+                  if (chosenPath.nonEmpty && pathSb.length >= chosenPath.length &&
+                      CodePointOrdering.compare(pathSb.toString, chosenPath) >= 0)
+                    pruned = true
                 }
-                var issuerCopy = issuer.copyOf()
-                val pathSb = new StringBuilder(64)
-                val recursionList = new mutable.ArrayBuffer[String]
-                var pruned = false
+              }
+              if (traced) log.span("hndq.5.4.4",
+                "log point: Hash N-Degree Quads function (4.8.3 (5.4.4)), entering loop.", 2) {
+                log.event("with:")
+                step544()
+              }
+              else step544()
 
-                // 5.4.4
-                log.span("hndq.5.4.4",
-                  "log point: Hash N-Degree Quads function (4.8.3 (5.4.4)), entering loop.", 2) {
-                  log.event("with:")
-                  val it = p.iterator
-                  while (!pruned && it.hasNext) {
-                    val related = it.next()
-                    log.event(1, "- related: " + related)
-                    canonicalIssuer.get(related) match {
-                      case Some(cid) => pathSb.append("_:").append(cid)
-                      case None =>
-                        if (issuerCopy.get(related).isEmpty) recursionList += related
-                        pathSb.append("_:").append(issuerCopy.issue(related))
+              // 5.4.5 recursion
+              if (!pruned) {
+                def step545(): Unit = {
+                  val rit = recursionList.iterator
+                  while (!pruned && rit.hasNext) {
+                    val related = rit.next()
+                    if (traced) log.event(1, "- related: " + related)
+                    val (rHash, rIssuer) =
+                      if (traced) log.span("", "", 1)(hndq(related, issuerCopy))
+                      else hndq(related, issuerCopy)
+                    pathSb.append("_:").append(issuerCopy.issue(related))
+                    pathSb.append('<').append(rHash).append('>')
+                    issuerCopy = rIssuer
+                    // the golden traces pin this span at delta 0 (the
+                    // reference source says indent=2, but all four
+                    // goldens print it at base(5.4.5) — follow the
+                    // fixtures, they are the oracle)
+                    if (traced) log.span("hndq.5.4.5.4",
+                      "log point: Hash N-Degree Quads function (4.8.3 (5.4.5.4)), combine result of recursion.", 0) {
+                      log.event("path: \"" + pathSb + "\"")
+                      log.event("issuer copy: " + issuerCopy.serializeMap)
                     }
-                    log.event(2, "path: \"" + pathSb + "\"")
                     if (chosenPath.nonEmpty && pathSb.length >= chosenPath.length &&
                         CodePointOrdering.compare(pathSb.toString, chosenPath) >= 0)
                       pruned = true
                   }
                 }
-
-                // 5.4.5 recursion
-                if (!pruned) {
-                  log.span("hndq.5.4.5",
-                    "log point: Hash N-Degree Quads function (4.8.3 (5.4.5)), before possible recursion.", 2) {
-                    if (log.isEnabled) {
-                      log.event("recursion list: " + debugList(recursionList))
-                      log.event("path: \"" + chosenPath + "\"")
-                      if (recursionList.nonEmpty) log.event("with:")
-                    }
-                    val rit = recursionList.iterator
-                    while (!pruned && rit.hasNext) {
-                      val related = rit.next()
-                      log.event(1, "- related: " + related)
-                      val (rHash, rIssuer) = log.span("", "", 1) { hndq(related, issuerCopy) }
-                      pathSb.append("_:").append(issuerCopy.issue(related))
-                      pathSb.append('<').append(rHash).append('>')
-                      issuerCopy = rIssuer
-                      // the golden traces pin this span at delta 0 (the
-                      // reference source says indent=2, but all four
-                      // goldens print it at base(5.4.5) — follow the
-                      // fixtures, they are the oracle)
-                      log.span("hndq.5.4.5.4",
-                        "log point: Hash N-Degree Quads function (4.8.3 (5.4.5.4)), combine result of recursion.", 0) {
-                        if (log.isEnabled) {
-                          log.event("path: \"" + pathSb + "\"")
-                          log.event("issuer copy: " + issuerCopy.serializeMap)
-                        }
-                      }
-                      if (chosenPath.nonEmpty && pathSb.length >= chosenPath.length &&
-                          CodePointOrdering.compare(pathSb.toString, chosenPath) >= 0)
-                        pruned = true
-                    }
-                  }
+                if (traced) log.span("hndq.5.4.5",
+                  "log point: Hash N-Degree Quads function (4.8.3 (5.4.5)), before possible recursion.", 2) {
+                  log.event("recursion list: " + debugList(recursionList))
+                  log.event("path: \"" + chosenPath + "\"")
+                  if (recursionList.nonEmpty) log.event("with:")
+                  step545()
                 }
+                else step545()
+              }
 
-                // 5.4.6
-                if (!pruned) {
-                  val path = pathSb.toString
-                  if (chosenPath.isEmpty || CodePointOrdering.compare(path, chosenPath) < 0) {
-                    chosenPath = path
-                    chosenIssuer = issuerCopy
-                  }
+              // 5.4.6
+              if (!pruned) {
+                val path = pathSb.toString
+                if (chosenPath.isEmpty || CodePointOrdering.compare(path, chosenPath) < 0) {
+                  chosenPath = path
+                  chosenIssuer = issuerCopy
                 }
               }
             }
-
-            log.span("hndq.5.5",
-              "log point: Hash N-Degree Quads function (4.8.3 (5.5). End of current loop with Hn hashes.", 2) {
-              if (log.isEnabled) {
-                log.event("chosen path: \"" + chosenPath + "\"")
-                log.event("data to hash: \"" + dataToHash + chosenPath + "\"")
-              }
-            }
-            dataToHash.append(chosenPath)
-            if (chosenIssuer != null) issuer = chosenIssuer // 5.6
           }
-        }
+          if (traced) log.span("hndq.5.4",
+            "log point: Hash N-Degree Quads function (4.8.3 (5.4)), entering loop.", 2)(permLoop())
+          else permLoop()
 
-        log.span("hndq.6",
-          "log point: Leaving Hash N-Degree Quads function (4.8.3 (6)).") {
+          if (traced) log.span("hndq.5.5",
+            "log point: Hash N-Degree Quads function (4.8.3 (5.5). End of current loop with Hn hashes.", 2) {
+            log.event("chosen path: \"" + chosenPath + "\"")
+            log.event("data to hash: \"" + dataToHash + chosenPath + "\"")
+          }
+          dataToHash.append(chosenPath)
+          if (chosenIssuer != null) issuer = chosenIssuer // 5.6
+        }
+        if (traced) log.span("hndq.5",
+          "log point: Hash N-Degree Quads function (4.8.3 (5)), entering loop.") {
+          log.event("with:")
+          step5()
+        }
+        else step5()
+
+        def step6(): (String, IdentifierIssuer) = {
           val h = hash(dataToHash.toString)
-          if (log.isEnabled) {
+          if (traced) {
             log.event("hash: " + h)
             log.event("issuer: " + issuer.serializeMap)
           }
           (h, issuer)
         }
+        if (traced) log.span("hndq.6",
+          "log point: Leaving Hash N-Degree Quads function (4.8.3 (6)).")(step6())
+        else step6()
       }
+      if (traced) log.span("hndq", "log point: Hash N-Degree Quads function (4.8.3).")(body())
+      else body()
+    }
   }
 
   /** 4.4.3 Canonicalization Algorithm: input quads (set semantics
@@ -419,98 +443,116 @@ object Rdfc10 {
     log.span("ca", "log point: Entering the canonicalization function (4.4.3).") {
       val state = new State(quads, opts, log)
 
-      log.span("ca.2", "log point: Extract quads for each bnode (4.4.3 (2)).") {
-        if (log.isEnabled) {
+      if (log.isEnabled)
+        log.span("ca.2", "log point: Extract quads for each bnode (4.4.3 (2)).") {
           log.event("Bnode to quads:")
           state.mentions.foreach { case (id, qs) =>
             log.event(1, id + ":")
             qs.foreach(q => log.event(2, "- " + NQuadsWriter.quadBody(q) + " ."))
           }
         }
-      }
 
       // 3) H1DQ for every mentioned bnode, grouped by hash
       val hashToBNodes = new mutable.TreeMap[String, mutable.ArrayBuffer[String]]()(CodePointOrdering)
-      log.span("ca.3", "log point: Calculated first degree hashes (4.4.3 (3)).") {
-        log.event("with:")
-        state.mentions.keysIterator.foreach { n =>
-          log.event(1, "- identifier: " + n)
-          val h = log.span("", "", 1) { state.h1dq(n) }
-          hashToBNodes.getOrElseUpdate(h, new mutable.ArrayBuffer[String]) += n
-        }
+      def step3(): Unit = state.mentions.keysIterator.foreach { n =>
+        val h =
+          if (log.isEnabled) {
+            log.event(1, "- identifier: " + n)
+            log.span("", "", 1)(state.h1dq(n))
+          } else state.h1dq(n)
+        hashToBNodes.getOrElseUpdate(h, new mutable.ArrayBuffer[String]) += n
       }
+      if (log.isEnabled)
+        log.span("ca.3", "log point: Calculated first degree hashes (4.4.3 (3)).") {
+          log.event("with:")
+          step3()
+        }
+      else step3()
 
       // 4) unique-hash shortcut: issue canonical ids immediately
       val shared = hashToBNodes.filter { case (_, ids) => ids.length > 1 }
-      log.span("ca.4",
-        "log point: Create canonical replacements for hashes mapping to a single node (4.4.3 (4)).") {
-        log.event("with:")
-        hashToBNodes.foreach { case (h, ids) =>
-          if (ids.length == 1) {
-            if (log.isEnabled) {
-              log.event(1, "- identifier: " + ids(0))
-              log.event(2, "hash: " + h)
-            }
-            val cid = state.canonicalIssuer.issue(ids(0))
-            log.event(2, "canonical label: " + cid)
+      def step4(): Unit = hashToBNodes.foreach { case (h, ids) =>
+        if (ids.length == 1) {
+          if (log.isEnabled) {
+            log.event(1, "- identifier: " + ids(0))
+            log.event(2, "hash: " + h)
           }
+          val cid = state.canonicalIssuer.issue(ids(0))
+          if (log.isEnabled) log.event(2, "canonical label: " + cid)
         }
       }
+      if (log.isEnabled)
+        log.span("ca.4",
+          "log point: Create canonical replacements for hashes mapping to a single node (4.4.3 (4)).") {
+          log.event("with:")
+          step4()
+        }
+      else step4()
 
       // 5) shared hashes → HNDQ per unissued bnode
-      log.span("ca.5",
-        "log point: Calculate hashes for identifiers with shared hashes (4.4.3 (5)).") {
-        log.event("with:")
-        shared.foreach { case (h, identifierList) =>
-          if (log.isEnabled) {
-            log.event(1, "- hash: " + h)
-            log.event(2, "identifier list: " + debugList(identifierList))
+      def step5(): Unit = shared.foreach { case (h, identifierList) =>
+        if (log.isEnabled) {
+          log.event(1, "- hash: " + h)
+          log.event(2, "identifier list: " + debugList(identifierList))
+        }
+        val hashPathList = new mutable.ArrayBuffer[(String, IdentifierIssuer)]
+        def step52(): Unit = identifierList.foreach { n =>
+          if (log.isEnabled) log.event(1, "- identifier: " + n)
+          if (state.canonicalIssuer.get(n).isEmpty) {
+            val temp = new IdentifierIssuer("b")
+            temp.issue(n)
+            hashPathList += (
+              if (log.isEnabled) log.span("", "", 1)(state.hndq(n, temp))
+              else state.hndq(n, temp))
           }
-          val hashPathList = new mutable.ArrayBuffer[(String, IdentifierIssuer)]
+        }
+        if (log.isEnabled)
           log.span("ca.5.2",
             "log point: Calculate hashes for identifiers with shared hashes (4.4.3 (5.2)).", 2) {
             log.event("with:")
-            identifierList.foreach { n =>
-              log.event(1, "- identifier: " + n)
-              if (state.canonicalIssuer.get(n).isEmpty) {
-                val temp = new IdentifierIssuer("b")
-                temp.issue(n)
-                hashPathList += log.span("", "", 1) { state.hndq(n, temp) }
-              }
-            }
+            step52()
           }
-          // 5.3) code point ordered by hash; stable like Rust sort()
-          log.span("ca.5.3",
-            "log point: Canonical identifiers for temporary identifiers (4.4.3 (5.3)).", 2) {
-            val sorted = hashPathList.sortBy(_._1)(CodePointOrdering)
-            if (log.isEnabled &&
-                sorted.iterator.sliding(2).exists(w => w.size == 2 && w.head._1 == w(1)._1))
-              log.event("has duplicate hashes: true")
-            if (sorted.nonEmpty) log.event("with:")
-            sorted.foreach { case (rHash, resultIssuer) =>
-              if (log.isEnabled) {
-                log.event(1, "- result: " + rHash)
-                log.event(2, "issuer: " + resultIssuer.serializeMap)
-              }
-              // 5.3.1) replay temporary issuance order (see IdentifierIssuer note)
-              log.span("ca.5.3.1", "", 2) {
-                resultIssuer.existingInIssuanceOrder.foreach { existing =>
-                  log.event("- existing identifier: " + existing)
-                  val cid = state.canonicalIssuer.issue(existing)
-                  log.event(1, "cid: " + cid)
-                }
-              }
+        else step52()
+        // 5.3) code point ordered by hash; stable like Rust sort()
+        def step53(): Unit = {
+          val sorted = hashPathList.sortBy(_._1)(CodePointOrdering)
+          if (log.isEnabled &&
+              sorted.iterator.sliding(2).exists(w => w.size == 2 && w.head._1 == w(1)._1))
+            log.event("has duplicate hashes: true")
+          if (log.isEnabled && sorted.nonEmpty) log.event("with:")
+          sorted.foreach { case (rHash, resultIssuer) =>
+            if (log.isEnabled) {
+              log.event(1, "- result: " + rHash)
+              log.event(2, "issuer: " + resultIssuer.serializeMap)
             }
+            // 5.3.1) replay temporary issuance order (see IdentifierIssuer note)
+            def replay(): Unit =
+              resultIssuer.existingInIssuanceOrder.foreach { existing =>
+                if (log.isEnabled) log.event("- existing identifier: " + existing)
+                val cid = state.canonicalIssuer.issue(existing)
+                if (log.isEnabled) log.event(1, "cid: " + cid)
+              }
+            if (log.isEnabled) log.span("ca.5.3.1", "", 2)(replay()) else replay()
           }
         }
+        if (log.isEnabled)
+          log.span("ca.5.3",
+            "log point: Canonical identifiers for temporary identifiers (4.4.3 (5.3)).", 2)(step53())
+        else step53()
       }
+      if (log.isEnabled)
+        log.span("ca.5",
+          "log point: Calculate hashes for identifiers with shared hashes (4.4.3 (5)).") {
+          log.event("with:")
+          step5()
+        }
+      else step5()
 
-      log.span("ca.6", "log point: Replace original with canonical labels (4.4.3 (6)).") {
-        if (log.isEnabled) {
+      if (log.isEnabled)
+        log.span("ca.6", "log point: Replace original with canonical labels (4.4.3 (6)).") {
           log.event("issued identifiers map: " + state.canonicalIssuer.serializeMap)
           log.event("hndq_call_counter: " + state.callCounter.traceRepr)
         }
-      }
 
       IssueResult(state.canonicalIssuer.toMap,
                   state.canonicalIssuer.existingInIssuanceOrder.toVector,

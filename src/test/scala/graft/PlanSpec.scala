@@ -55,6 +55,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("ANN candidate dedup shuffles ids only — vectors join after") {
+    // the distinct on (id_a, id_b) must sit BELOW the joins that
+    // attach float vectors, so the candidate shuffle never carries
+    // two vectors per pair
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = graft.ops.Similarity.annTopK(
+      spark.read.parquet(s"$sf/embeddings.parquet"), k = 3)
+    val dedups = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+          if a.groupingExpressions.size == 2 &&
+            a.output.map(_.name).toSet == Set("id_a", "id_b") => a
+    }
+    assert(dedups.nonEmpty, "candidate dedup aggregate not found")
+    dedups.foreach { a =>
+      val cols = a.collectLeaves().flatMap(_.output.map(_.name)).toSet ++
+        a.output.map(_.name)
+      assert(!cols.exists(c => c == "v_a" || c == "v_b"),
+        s"vectors reached the candidate dedup subtree: $cols")
+    }
+  }
+
   test("metadata-only multimodal projection does not read the payload column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
