@@ -105,10 +105,7 @@ object Rdfc10 {
 
   private val HEXL = "0123456789abcdef".toCharArray
 
-  /** digest → lowercase hex (reference `src/canon.rs:188-191`). */
-  private[canon] def hashHex(md: MessageDigest, data: String): String = {
-    md.reset()
-    val d = md.digest(data.getBytes(UTF_8))
+  private[canon] def hexOf(d: Array[Byte]): String = {
     val out = new Array[Char](d.length * 2)
     var i = 0
     while (i < d.length) {
@@ -117,6 +114,12 @@ object Rdfc10 {
       i += 1
     }
     new String(out)
+  }
+
+  /** digest → lowercase hex (reference `src/canon.rs:188-191`). */
+  private[canon] def hashHex(md: MessageDigest, data: String): String = {
+    md.reset()
+    hexOf(md.digest(data.getBytes(UTF_8)))
   }
 
   /** Rust `{:?}` rendering of a list of strings, used by trace lines
@@ -162,21 +165,40 @@ object Rdfc10 {
       if (log.isEnabled) h1dqCompute(refId)
       else h1dqCache.getOrElseUpdate(refId, h1dqCompute(refId))
 
+    // scratch buffer shared across h1dq lines — the kernel is single-
+    // threaded per graph, and per-line builders were a measurable
+    // slice of the DRAM traffic that caps 32-core scaling
+    private val scratch = new StringBuilder(128)
+
+    /** One a/z-projected canonical line (3.1.1.1: reference bnode ->
+      * "a", any other bnode -> "z") written without materializing a
+      * projected Quad copy. */
+    private def h1dqLine(q: Quad, refId: String): String = {
+      val sb = scratch
+      sb.setLength(0)
+      if (q.subjectIsBNode) sb.append("_:").append(if (q.s == refId) "a" else "z")
+      else NQuadsWriter.writeTerm(q.sKind, q.s, "", "", sb)
+      sb.append(' ')
+      sb.append('<').append(q.p).append('>')
+      sb.append(' ')
+      if (q.objectIsBNode) sb.append("_:").append(if (q.o == refId) "a" else "z")
+      else NQuadsWriter.writeTerm(q.oKind, q.o, q.oDt, q.oLang, sb)
+      if (q.gKind != TermKind.DefaultGraph) {
+        sb.append(' ')
+        if (q.graphIsBNode) sb.append("_:").append(if (q.g == refId) "a" else "z")
+        else NQuadsWriter.writeTerm(q.gKind, q.g, "", "", sb)
+      }
+      sb.append(" .\n")
+      sb.toString
+    }
+
     private def h1dqCompute(refId: String): String =
       log.span("h1dq", "log point: Hash First Degree Quads function (4.6.3).") {
         val quadsFor = mentions.getOrElse(refId, throw new QuadsNotExistException)
         val lines = new Array[String](quadsFor.length)
         var i = 0
         while (i < quadsFor.length) {
-          val q = quadsFor(i)
-          // 3.1.1.1: reference bnode -> "a", any other bnode -> "z"
-          val sb = new StringBuilder(96)
-          val proj = q.copy(
-            s = if (q.subjectIsBNode) (if (q.s == refId) "a" else "z") else q.s,
-            o = if (q.objectIsBNode) (if (q.o == refId) "a" else "z") else q.o,
-            g = if (q.graphIsBNode) (if (q.g == refId) "a" else "z") else q.g
-          )
-          lines(i) = NQuadsWriter.quadBody(proj, sb).append(" .\n").toString
+          lines(i) = h1dqLine(quadsFor(i), refId)
           i += 1
         }
         if (log.isEnabled) {
@@ -184,8 +206,15 @@ object Rdfc10 {
           lines.foreach(l => log.event(1, "- " + l.stripSuffix("\n")))
         }
         java.util.Arrays.sort(lines, CodePointOrdering)
-        val h = hash(lines.mkString)
-        log.event("hash: " + h)
+        // digest per sorted line — no concatenated copy of the document
+        md.reset()
+        i = 0
+        while (i < lines.length) {
+          md.update(lines(i).getBytes(UTF_8))
+          i += 1
+        }
+        val h = hexOf(md.digest())
+        if (log.isEnabled) log.event("hash: " + h)
         h
       }
 

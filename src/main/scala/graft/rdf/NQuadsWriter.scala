@@ -77,9 +77,14 @@ object NQuadsWriter {
     quadBody(q, new StringBuilder(96)).append(" .\n").toString
 
   /** Canonical N-Quads document: statements sorted in code point
-    * order, concatenated (`src/canon.rs:1140-1147`). */
+    * order, concatenated (`src/canon.rs:1140-1147`). One shared
+    * scratch builder — this runs once per graph inside the kernel. */
   def serializeDocument(quads: Iterable[Quad]): String = {
-    val lines = quads.iterator.map(statement).toArray
+    val scratch = new StringBuilder(96)
+    val lines = quads.iterator.map { q =>
+      scratch.setLength(0)
+      quadBody(q, scratch).append(" .\n").toString
+    }.toArray
     java.util.Arrays.sort(lines, CodePointOrdering)
     val sb = new StringBuilder(lines.length * 64)
     lines.foreach(sb.append)
