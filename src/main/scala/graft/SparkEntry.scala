@@ -187,13 +187,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
 
-    // --- multimodal plumbing ----------------------------------------------------------
+    // --- multimodal: real PNG/WAV decode (video stubbed) -----------------------------
     "q24_multimodal" -> ((s, d) => {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 2000))
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          size(col("sampled_frames")).as("n_frames"))
+          size(col("sampled_frames")).as("n_frames"),
+          // quantized decoded-feature digest: integers survive the
+          // golden-VALUES oracle exactly
+          aggregate(
+            transform(col("features"),
+              f => round(f.cast("double") * 1000).cast("long")),
+            lit(0L), (a, b) => a + b).as("feat_q"))
         .orderBy("media_id")
     }),
 

@@ -159,15 +159,39 @@ class OpsSpec extends AnyFunSuite {
     assert(lang(2L) == "es")
   }
 
-  test("multimodal plumbing: schema, determinism, frame sampling") {
+  test("multimodal: real PNG/WAV decode, determinism, frame sampling") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 50))
       .collect().sortBy(_.media_id)
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
     assert(f1.forall(_.features.length == 8))
+    // image features come from ImageIO-decoded pixels
+    f1.filter(_.kind == "image").foreach { img =>
+      val Array(w, h, mr, mg, mb, luma, minL, maxL) = img.features
+      assert(w == 16f && h == 16f)
+      assert(Seq(mr, mg, mb).forall(c => c >= 0f && c <= 255f))
+      assert(minL <= luma && luma <= maxL)
+    }
+    // audio features come from parsed PCM samples
+    f1.filter(_.kind == "audio").foreach { a =>
+      val Array(n, mean, rms, peak, zeroX, rate, bits, ch) = a.features
+      assert(n >= 400f && rms > 0f && peak <= 32768f && zeroX > 0f)
+      assert(rate == 8000f && bits == 16f && ch == 1f)
+      assert(math.abs(mean) <= peak)
+    }
     f1.filter(_.kind == "video").foreach(v => assert(v.sampled_frames.length == 4))
     f1.filter(_.kind != "video").foreach(v => assert(v.sampled_frames.isEmpty))
+  }
+
+  test("multimodal payloads are real PNG/WAV bytes") {
+    val png = Multimodal.pngBytes(1234L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    val wav = Multimodal.wavBytes(1234L, 100)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(wav.length == 44 + 200)
   }
 
   test("doc-kg canonicalization is deterministic and all-ok") {
