@@ -187,6 +187,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
 
+    // --- embedding-cosine near-dup (dedup family) ---------------------------------
+    // the provided embeddings carry no near-dup pairs (max pairwise
+    // cosine 0.51 at sf0.01), so the input plants deterministic
+    // near-identical copies: vec' = vec with +0.05f on dim 0, id+10000
+    // — float-exact arithmetic the oracle reproduces verbatim.
+    "q29_embed_neardup" -> ((s, d) => {
+      val base = t(s, d, "embeddings").where(col("vec_id") < 200)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val pert = base.select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+      Similarity.nearDupPairs(base.union(pert), threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- multimodal: real PNG/WAV decode (video stubbed) -----------------------------
     "q24_multimodal" -> ((s, d) => {
       import s.implicits._
@@ -468,6 +483,29 @@ object SparkEntry {
         |SELECT id_a, id_b, rank FROM (
         |  SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM scored)
         |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
+
+    // brute-force oracle over base + float-exact perturbed copies; at
+    // near-identical cosines the 6-band LSH recall is 1, so the
+    // emitted set equals the true set.
+    "q29_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e
+        |  FROM embeddings WHERE vec_id < 200
+        |), pert AS (
+        |  SELECT id + 10000 AS id,
+        |    [CASE WHEN i = 1 THEN CAST(e[CAST(i AS INT)] + CAST(0.05 AS FLOAT) AS FLOAT)
+        |          ELSE e[CAST(i AS INT)] END FOR i IN range(1, len(e)+1)] AS e
+        |  FROM base
+        |), v AS (
+        |  SELECT id, e,
+        |    sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN e],(x,y)->x+y)) AS nrm
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |), p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_reduce([CAST(a.e[CAST(i AS INT)] AS DOUBLE)*CAST(b.e[CAST(i AS INT)] AS DOUBLE) FOR i IN range(1,len(a.e)+1)],(x,y)->x+y)/(a.nrm*b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.id < b.id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q28_jaccard_stats" ->
       s"""$ShingleCte, inv AS (SELECT id, unnest(s) AS shingle FROM sh),

@@ -116,6 +116,45 @@ object Similarity {
     sig
   }
 
+  /** Distinct undirected same-bucket candidate id pairs from
+    * random-hyperplane band signatures, with the hot-bucket star
+    * guard. Input: (id, v, nrm); output: (id_a < id_b). Carries ids
+    * ONLY — vectors re-join by id afterwards. */
+  private def rhpCandidates(u: DataFrame, bands: Int, bitsPerBand: Int,
+                            seed: Long, maxBucket: Int): DataFrame = {
+    val spark = u.sparkSession
+    import spark.implicits._
+    val nBits = bands * bitsPerBand
+    require(nBits <= 63, "bands * bitsPerBand must be <= 63")
+    val banded = u.select(col("id"), col("v")).as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        val sig = rhpSig(v, nBits, seed)
+        (0 until bands).iterator.map { b =>
+          (id, b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1))
+        }
+      }).toDF("id", "band", "bucket")
+    val stats = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_hub"))
+    val tagged = banded.join(stats, Seq("band", "bucket"))
+    val small = tagged.where(col("bkt_n") <= maxBucket)
+    val l = small.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val r = small.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val allPairs = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val star = tagged
+      .where(col("bkt_n") > maxBucket && col("id") =!= col("bkt_hub"))
+      .select(col("bkt_hub").as("id_a"), col("id").as("id_b"))
+    allPairs.union(star).dropDuplicates("id_a", "id_b")
+  }
+
+  private def withCos(pairs: DataFrame, u: DataFrame): DataFrame = {
+    val a = u.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = u.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("cos", dotUdf(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+  }
+
   /** ANN top-k: signature bands as buckets (multi-probe), exact
     * cosine ranking inside buckets. `bitsPerBand` controls the
     * bucket-size / recall trade-off (8 bits → 256 buckets per band).
@@ -129,38 +168,27 @@ object Similarity {
               bitsPerBand: Int = 8, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxBucket: Int = 2000): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val nBits = bands * bitsPerBand
-    require(nBits <= 63, "bands * bitsPerBand must be <= 63")
     val u = withNorms(vecs, idCol, vecCol)
-    val banded = u.select(col("id"), col("v")).as[(Long, Array[Float])]
-      .mapPartitions(_.flatMap { case (id, v) =>
-        val sig = rhpSig(v, nBits, seed)
-        (0 until bands).iterator.map { b =>
-          (id, b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1))
-        }
-      }).toDF("id", "band", "bucket")
-    // distinct undirected candidate ids, then mirror for per-id top-k
-    val stats = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_hub"))
-    val tagged = banded.join(stats, Seq("band", "bucket"))
-    val small = tagged.where(col("bkt_n") <= maxBucket)
-    val l = small.select(col("id").as("id_a"), col("band"), col("bucket"))
-    val r = small.select(col("id").as("id_b"), col("band"), col("bucket"))
-    val allPairs = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val star = tagged
-      .where(col("bkt_n") > maxBucket && col("id") =!= col("bkt_hub"))
-      .select(col("bkt_hub").as("id_a"), col("id").as("id_b"))
-    val undirected = allPairs.union(star).dropDuplicates("id_a", "id_b")
+    val undirected = rhpCandidates(u, bands, bitsPerBand, seed, maxBucket)
+    // mirror for per-id top-k
     val directed = undirected.union(
       undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    val a = u.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val b = u.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
-    val scored = directed.join(a, "id_a").join(b, "id_b")
-      .withColumn("cos", dotUdf(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
-    rankTopK(scored, k)
+    rankTopK(withCos(directed, u), k)
+  }
+
+  /** Embedding-cosine NEAR-DUP: all pairs with cosine >= threshold,
+    * LSH-bucketed candidates (more bands than annTopK — near-dup
+    * thresholds sit at tiny angles where per-band hit probability is
+    * high, so 6 bands push recall to ~1) verified with the exact
+    * cosine. The dedup-family member over embeddings; id_a < id_b. */
+  def nearDupPairs(vecs: DataFrame, threshold: Double = 0.9,
+                   bands: Int = 6, bitsPerBand: Int = 8, seed: Long = 42L,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   maxBucket: Int = 2000): DataFrame = {
+    val u = withNorms(vecs, idCol, vecCol)
+    val undirected = rhpCandidates(u, bands, bitsPerBand, seed, maxBucket)
+    withCos(undirected, u)
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 }

@@ -144,6 +144,22 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.8, s"ANN recall $recall")
   }
 
+  test("embedding near-dup finds planted perturbed copies, skips the rest") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val pert = base.map { case (i, v) =>
+      (i + 1000L, v.updated(0, v(0) + 0.01f))
+    }
+    val df = (base ++ pert).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    assert(expected.subsetOf(pairs), s"missing planted pairs: ${expected -- pairs}")
+    // random 16-dim vectors almost never reach cosine 0.95 — allow none
+    assert((pairs -- expected).isEmpty, s"false positives: ${pairs -- expected}")
+  }
+
   test("token counts, quality signals, fingerprints, lang-id") {
     val d = docs((1L, "The quick brown fox, it jumps!"), (2L, "el la los con que si"))
     val tc = TextOps.withTokenCounts(d).collect().map(r =>
