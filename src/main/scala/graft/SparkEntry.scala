@@ -187,6 +187,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
 
+    // --- IVF ANN: the second scale path (deterministic stride centroids) ----------
+    "q30_ivf_ann" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), k = 5, nprobe = 2,
+          centroidStride = 25L)
+        .select(col("id_a"), col("id_b"), col("rank"))
+        .orderBy("id_a", "rank")),
+
     // --- embedding-cosine near-dup (dedup family) ---------------------------------
     // the provided embeddings carry no near-dup pairs (max pairwise
     // cosine 0.51 at sf0.01), so the input plants deterministic
@@ -480,6 +487,35 @@ object SparkEntry {
         |  SELECT c.id_a, c.id_b,
         |    list_reduce([CAST(a.e[CAST(i AS INT)] AS DOUBLE)*CAST(b.e[CAST(i AS INT)] AS DOUBLE) FOR i IN range(1,len(a.e)+1)],(x,y)->x+y)/(a.nrm*b.nrm) AS cos
         |  FROM cand c JOIN v a ON c.id_a = a.id JOIN v b ON c.id_b = b.id)
+        |SELECT id_a, id_b, rank FROM (
+        |  SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
+
+    // full SQL replication of ivfTopK: stride-25 centroids, nprobe-2
+    // cell assignment by bit-exact cosine rank, same-cell candidates,
+    // exact cosine top-5
+    "q30_ivf_ann" ->
+      """WITH v AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
+        |    sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) AS nrm
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT id AS cid, e AS ce, nrm AS cn FROM v WHERE id % 25 = 0
+        |), a AS (
+        |  SELECT id, cid FROM (
+        |    SELECT v.id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+        |        list_reduce([CAST(v.e[CAST(i AS INT)] AS DOUBLE)*CAST(c.ce[CAST(i AS INT)] AS DOUBLE) FOR i IN range(1,len(v.e)+1)],(p,q)->p+q)/(v.nrm*c.cn) DESC,
+        |        c.cid) AS rn
+        |    FROM v, c)
+        |  WHERE rn <= 2
+        |), cand AS (
+        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        |  FROM a l JOIN a r ON l.cid = r.cid AND l.id != r.id
+        |), scored AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    list_reduce([CAST(x.e[CAST(i AS INT)] AS DOUBLE)*CAST(y.e[CAST(i AS INT)] AS DOUBLE) FOR i IN range(1,len(x.e)+1)],(p,q)->p+q)/(x.nrm*y.nrm) AS cos
+        |  FROM cand JOIN v x ON cand.id_a = x.id JOIN v y ON cand.id_b = y.id)
         |SELECT id_a, id_b, rank FROM (
         |  SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM scored)
         |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,

@@ -116,10 +116,28 @@ object Similarity {
     sig
   }
 
-  /** Distinct undirected same-bucket candidate id pairs from
-    * random-hyperplane band signatures, with the hot-bucket star
-    * guard. Input: (id, v, nrm); output: (id_a < id_b). Carries ids
-    * ONLY — vectors re-join by id afterwards. */
+  /** Distinct undirected same-bucket candidate id pairs from an
+    * (id, band, bucket) assignment table, with the hot-bucket star
+    * guard (buckets past maxBucket degrade to member↔min-id pairs).
+    * Output: (id_a < id_b); carries ids ONLY — vectors re-join by id
+    * afterwards. */
+  private def starGuardedPairs(assigned: DataFrame, maxBucket: Int): DataFrame = {
+    val stats = assigned.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_hub"))
+    val tagged = assigned.join(stats, Seq("band", "bucket"))
+    val small = tagged.where(col("bkt_n") <= maxBucket)
+    val l = small.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val r = small.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val allPairs = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val star = tagged
+      .where(col("bkt_n") > maxBucket && col("id") =!= col("bkt_hub"))
+      .select(col("bkt_hub").as("id_a"), col("id").as("id_b"))
+    allPairs.union(star).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Candidate pairs from random-hyperplane band signatures. */
   private def rhpCandidates(u: DataFrame, bands: Int, bitsPerBand: Int,
                             seed: Long, maxBucket: Int): DataFrame = {
     val spark = u.sparkSession
@@ -133,19 +151,7 @@ object Similarity {
           (id, b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1))
         }
       }).toDF("id", "band", "bucket")
-    val stats = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_hub"))
-    val tagged = banded.join(stats, Seq("band", "bucket"))
-    val small = tagged.where(col("bkt_n") <= maxBucket)
-    val l = small.select(col("id").as("id_a"), col("band"), col("bucket"))
-    val r = small.select(col("id").as("id_b"), col("band"), col("bucket"))
-    val allPairs = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val star = tagged
-      .where(col("bkt_n") > maxBucket && col("id") =!= col("bkt_hub"))
-      .select(col("bkt_hub").as("id_a"), col("id").as("id_b"))
-    allPairs.union(star).dropDuplicates("id_a", "id_b")
+    starGuardedPairs(banded, maxBucket)
   }
 
   private def withCos(pairs: DataFrame, u: DataFrame): DataFrame = {
@@ -171,6 +177,45 @@ object Similarity {
     val u = withNorms(vecs, idCol, vecCol)
     val undirected = rhpCandidates(u, bands, bitsPerBand, seed, maxBucket)
     // mirror for per-id top-k
+    val directed = undirected.union(
+      undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    rankTopK(withCos(directed, u), k)
+  }
+
+  /** IVF ANN top-k — the second scale path next to [[annTopK]]'s LSH:
+    * a small deterministic centroid set (every `centroidStride`-th
+    * input id — a data-derived coarse quantizer; swap in k-means
+    * centroids at deployment without touching the plan) is broadcast,
+    * each vector joins its `nprobe` nearest cells, candidates share a
+    * cell. Cells bound candidate work to ~(n/#cells)·nprobe² per
+    * vector instead of n, the assignment kernel is one broadcast
+    * mapPartitions pass (no shuffle), and the candidate shuffle
+    * carries ids only. Hot cells degrade to star pairs past
+    * `maxBucket`. */
+  def ivfTopK(vecs: DataFrame, k: Int = 5, nprobe: Int = 2,
+              centroidStride: Long = 25L, idCol: String = "vec_id",
+              vecCol: String = "embedding", maxBucket: Int = 2000): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val u = withNorms(vecs, idCol, vecCol)
+    val cents = u.where(col("id") % centroidStride === 0)
+      .as[(Long, Array[Float], Double)]
+      .collect().sortBy(_._1)
+    require(cents.nonEmpty, "no centroids (centroidStride too large?)")
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = u.as[(Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v, nrm) =>
+          // nprobe nearest cells by (cos desc, centroid id asc) —
+          // exact doubles, so the SQL oracle reproduces the ranking
+          cs.map { case (cid, cv, cn) => (cid, dotF(v, cv) / (nrm * cn)) }
+            .sortBy { case (cid, cos) => (-cos, cid) }
+            .take(nprobe)
+            .iterator.map { case (cid, _) => (id, 0, cid) }
+        }
+      }.toDF("id", "band", "bucket")
+    val undirected = starGuardedPairs(assigned, maxBucket)
     val directed = undirected.union(
       undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     rankTopK(withCos(directed, u), k)

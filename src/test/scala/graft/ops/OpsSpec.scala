@@ -144,6 +144,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.8, s"ANN recall $recall")
   }
 
+  test("IVF ANN recall vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      (i.toLong, base.map(v => v + rnd.nextFloat() * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(df, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, k = 3, nprobe = 2, centroidStride = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    // two tight clusters, stride-10 centroids land ~3 per cluster;
+    // nprobe=2 bridges neighbors assigned to sibling cells
+    assert(recall > 0.9, s"IVF recall $recall")
+    // nprobe=1 must still find a majority (single-cell baseline)
+    val ivf1 = Similarity.ivfTopK(df, k = 3, nprobe = 1, centroidStride = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.intersect(ivf1).size.toDouble / bf.size > 0.6)
+  }
+
   test("embedding near-dup finds planted perturbed copies, skips the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
