@@ -32,6 +32,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops repeats, keeps distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupWithinWatermark(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      // same content three times (twice in batch 1, once in batch 2,
+      // all within the watermark) + one distinct event
+      mem.addData(
+        (1L, t(1), 10L, "click", 1.0, ""),
+        (2L, t(2), 10L, "click", 1.0, ""),
+        (3L, t(2), 11L, "view", 2.0, ""))
+      q.processAllAvailable()
+      mem.addData((4L, t(3), 10L, "click", 1.0, ""))
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, event_type from dedup_stream").collect()
+      assert(rows.length == 2, rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful sessionization over a stream, gap splits sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
