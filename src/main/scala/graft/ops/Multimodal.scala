@@ -200,6 +200,33 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (JDK Graphics2D bilinear): decode → scale →
+    * re-encode PNG, one pass per partition; non-image rows pass
+    * through untouched. The standard pre-training normalization
+    * stage (fixed input resolution). */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "image") m
+        else {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val out = new ByteArrayOutputStream(1024)
+          javax.imageio.ImageIO.write(dst, "png", out)
+          m.copy(width = w, height = h, payload = out.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Typed-metadata projection + pushdown-friendly filtering: the
     * binary column is NOT read when only metadata is selected
     * (parquet column pruning — verify via ReadSchema in explain). */

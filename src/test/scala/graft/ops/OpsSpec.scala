@@ -222,6 +222,26 @@ class OpsSpec extends AnyFunSuite {
     f1.filter(_.kind != "video").foreach(v => assert(v.sampled_frames.isEmpty))
   }
 
+  test("multimodal resize re-encodes images at the target resolution") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val resized = Multimodal.resizeImages(media, 8, 8).collect()
+    resized.filter(_.kind == "image").foreach { m =>
+      assert(m.width == 8 && m.height == 8)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+    }
+    // non-image rows untouched
+    val origByIdx = media.collect().map(m => m.media_id -> m).toMap
+    resized.filter(_.kind != "image").foreach { m =>
+      assert(m.payload.sameElements(origByIdx(m.media_id).payload))
+    }
+    // resized features still extract (decode path end-to-end)
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resizeImages(media, 8, 8)).collect()
+    feats.filter(_.kind == "image").foreach(f => assert(f.features(0) == 8f))
+  }
+
   test("multimodal payloads are real PNG/WAV bytes") {
     val png = Multimodal.pngBytes(1234L)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
