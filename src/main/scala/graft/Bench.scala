@@ -40,18 +40,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** min over `trials` runs; Left(exceptionClass) if every run fails. */
-    def best(f: => Unit): Either[String, Double] = {
+    /** min over `trials` runs + every failed trial's exception class —
+      * partial failures surface in the errors map instead of being
+      * silently absorbed by a surviving trial. */
+    final case class Trials(min: Option[Double], failures: List[String])
+    def best(f: => Unit): Trials = {
       var min = Double.MaxValue
-      var err: String = null
+      var fails = List.empty[String]
       (0 until trials).foreach { _ =>
         try { val t = time(f); if (t < min) min = t }
-        catch { case e: Throwable => err = e.getClass.getSimpleName }
+        catch { case e: Throwable => fails ::= e.getClass.getSimpleName }
       }
-      if (min < Double.MaxValue) Right(min) else Left(err)
+      Trials(if (min < Double.MaxValue) Some(min) else None, fails.reverse)
     }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Trials]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = best(fn(spark, sfDir).count())
     }
@@ -87,20 +90,28 @@ object Bench {
       require(n == cfg.nRepos, s"canon bench: $n/${cfg.nRepos} graphs ok")
     }
 
-    val ok = results.collect { case (k, Right(v)) => k -> v }
-    val errs = results.collect { case (k, Left(e)) => k -> e }
+    val ok = results.collect { case (k, t) if t.min.isDefined => k -> t.min.get }
+    // errors carries EVERY failed trial: "ExceptionClass" when all
+    // trials failed, "partial: ExceptionClass" when one survived
+    val errs = results.collect {
+      case (k, t) if t.failures.nonEmpty =>
+        val tag = if (t.min.isEmpty) t.failures.mkString(",")
+                  else "partial: " + t.failures.mkString(",")
+        k -> tag
+    }
+    val allFailed = results.count { case (_, t) => t.min.isEmpty }
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = ok.values.sum
     val gps = ok.get("canon_fused_20kgraphs").map(cfg.nRepos / _).getOrElse(-1.0)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errs.size},"trials":$trials,"sf":"$sfDir","graphs_per_sec":$gps%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$es,"n_failed":$allFailed,"trials":$trials,"sf":"$sfDir","graphs_per_sec":$gps%.2f}"""
     println(line)
     try Files.write(Paths.get(outPath), (line + "\n").getBytes(UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
-    if (errs.nonEmpty) sys.exit(1)
+    if (allFailed > 0) sys.exit(1)
   }
 }

@@ -450,7 +450,8 @@ object SparkEntry {
     "q22_cosine_topk" ->
       """WITH v AS (
         |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
-        |    sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) AS nrm
+        |    CASE WHEN list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y) = 0 THEN 1.0
+        |         ELSE sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) END AS nrm
         |  FROM embeddings WHERE vec_id < 300
         |), p AS (
         |  SELECT a.id AS id_a, b.id AS id_b,
@@ -466,7 +467,8 @@ object SparkEntry {
     "q23_ann_lsh" ->
       """WITH v AS (
         |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
-        |    sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) AS nrm
+        |    CASE WHEN list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y) = 0 THEN 1.0
+        |         ELSE sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) END AS nrm
         |  FROM embeddings
         |), pl AS (
         |  SELECT b, [CASE WHEN (strpos('0123456789abcdef', substr(md5('rhp:42:'||b||':'||(i-1)),1,1))-1) & 1 = 0
@@ -497,7 +499,8 @@ object SparkEntry {
     "q30_ivf_ann" ->
       """WITH v AS (
         |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
-        |    sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) AS nrm
+        |    CASE WHEN list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y) = 0 THEN 1.0
+        |         ELSE sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) END AS nrm
         |  FROM embeddings
         |), c AS (
         |  SELECT id AS cid, e AS ce, nrm AS cn FROM v WHERE id % 25 = 0
@@ -534,7 +537,8 @@ object SparkEntry {
         |  FROM base
         |), v AS (
         |  SELECT id, e,
-        |    sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN e],(x,y)->x+y)) AS nrm
+        |    CASE WHEN list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN e],(x,y)->x+y) = 0 THEN 1.0
+        |         ELSE sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN e],(x,y)->x+y)) END AS nrm
         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)
         |), p AS (
         |  SELECT a.id AS id_a, b.id AS id_b,

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.security.MessageDigest
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,21 +43,8 @@ object Dedup {
 
   private def mix64(x0: Long): Long = graft.pipeline.Corpus.mix64(x0)
 
-  private val md5Local = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  /** First 8 bytes of MD5(s), big-endian — the same 64 bits DuckDB's
-    * `substr(md5(s), 1, 16)` hex-encodes, so set cardinalities and
-    * per-bit tests computed here are reproducible in plain SQL. */
-  def md5Long(s: String): Long = {
-    val d = md5Local.get(); d.reset()
-    val b = d.digest(s.getBytes(UTF_8))
-    ((b(0) & 0xFFL) << 56) | ((b(1) & 0xFFL) << 48) |
-      ((b(2) & 0xFFL) << 40) | ((b(3) & 0xFFL) << 32) |
-      ((b(4) & 0xFFL) << 24) | ((b(5) & 0xFFL) << 16) |
-      ((b(6) & 0xFFL) << 8) | (b(7) & 0xFFL)
-  }
+  /** First 8 bytes of MD5(s), big-endian (see [[LshUtil.md5Long]]). */
+  def md5Long(s: String): Long = LshUtil.md5Long(s)
 
   /** Distinct k-gram shingle hashes of the normalized text, sorted.
     * Shingle id = md5Long of the k-char window (JVM-side kernel). */
@@ -103,30 +88,9 @@ object Dedup {
 
   private val jaccardUdf = udf(jaccardSorted _)
 
-  /** Same-bucket candidate pairs with a hot-bucket guard.
-    * Input: (id, key...) rows. Buckets of size <= maxBucket contribute
-    * ALL intra-bucket pairs; larger buckets contribute STAR pairs
-    * (member ↔ bucket min id) — bounded O(bucket) instead of
-    * O(bucket²), and a cluster of identical documents stays connected
-    * through its hub. Returns distinct (id_a < id_b) pairs. */
   private def bucketPairs(buckets: DataFrame, keys: Seq[String],
-                          maxBucket: Int): DataFrame = {
-    val kc = keys.map(col)
-    val stats = buckets.groupBy(kc: _*)
-      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_hub"))
-    val tagged = buckets.join(stats, keys)
-    val small = tagged.where(col("bkt_n") <= maxBucket)
-    val l = small.select((col("id").as("id_a") +: kc): _*)
-    val r = small.select((col("id").as("id_b") +: kc): _*)
-    val allPairs = l.join(r, keys)
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    // hub = min id, so star pairs already satisfy id_a < id_b
-    val star = tagged
-      .where(col("bkt_n") > maxBucket && col("id") =!= col("bkt_hub"))
-      .select(col("bkt_hub").as("id_a"), col("id").as("id_b"))
-    allPairs.union(star).dropDuplicates("id_a", "id_b")
-  }
+                          maxBucket: Int): DataFrame =
+    LshUtil.bucketPairs(buckets, keys, maxBucket)
 
   /** n-gram Jaccard near-dup via an inverted shingle index:
     * candidates = pairs sharing a *discriminative* shingle (document
@@ -272,13 +236,16 @@ object Dedup {
     sim
   }
 
-  /** SimHash near-dup with an EXACT pigeonhole guarantee: the 64-bit
+  /** SimHash near-dup with a pigeonhole guarantee: the 64-bit
     * simhash is split into maxHamming+1 chunks, so any pair within
     * `maxHamming` shares at least one identical chunk — the emitted
-    * set is exactly {pairs : hamming <= maxHamming}, not a recall<1
-    * subset. Bucket-join on (chunk index, value) with the hot-bucket
-    * star guard, then verify true hamming (vectors re-joined by id
-    * AFTER pair dedup — the candidate shuffle carries only ids). */
+    * set is exactly {pairs : hamming <= maxHamming} AS LONG AS no
+    * chunk bucket exceeds `maxBucket` (hot buckets degrade to star
+    * pairs, trading non-hub pair recall for bounded work; raise
+    * maxBucket when exactness matters more than skew safety).
+    * Bucket-join on (chunk index, value), then verify true hamming
+    * (sim values re-joined by id AFTER pair dedup — the candidate
+    * shuffle carries only ids). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxBucket: Int = 2000): DataFrame = {

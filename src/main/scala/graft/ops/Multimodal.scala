@@ -113,9 +113,15 @@ object Multimodal {
     }
   }
 
+  /** Sentinel features for undecodable payloads: a corrupt asset must
+    * become a recognizable error ROW, never a task failure (the
+    * per-graph error-row convention, CanonEngine). */
+  private[ops] val DecodeError: Array[Float] = Array.fill(8)(-1f)
+
   /** REAL image decode: ImageIO PNG → pixel statistics. */
   private def imageFeatures(payload: Array[Byte]): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) return DecodeError // ImageIO returns null on unknown formats
     val w = img.getWidth; val h = img.getHeight
     var sr = 0L; var sg = 0L; var sb = 0L
     var minL = 255; var maxL = 0
@@ -142,8 +148,8 @@ object Multimodal {
   private def audioFeatures(payload: Array[Byte]): Array[Float] = {
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(payload.length >= 44 &&
-      payload(0) == 'R' && payload(8) == 'W', "not a RIFF/WAVE payload")
+    if (payload.length < 46 || payload(0) != 'R' || payload(8) != 'W')
+      return DecodeError // not RIFF/WAVE or no samples after the header
     val n = (payload.length - 44) / 2
     buf.position(44)
     var sum = 0.0; var sumSq = 0.0
@@ -185,11 +191,15 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition codec init would go here (ImageIO is static)
       it.map { m =>
-        val feats = m.kind match {
-          case "image" => imageFeatures(m.payload)
-          case "audio" => audioFeatures(m.payload)
-          case _       => fakeVideoDecode(m.payload)
-        }
+        val feats =
+          try m.kind match {
+            case "image" => imageFeatures(m.payload)
+            case "audio" => audioFeatures(m.payload)
+            case _       => fakeVideoDecode(m.payload)
+          } catch {
+            // truncated / lying payloads must not kill the stage
+            case scala.util.control.NonFatal(_) => DecodeError
+          }
         val frames: Array[Long] =
           if (m.kind == "video" && m.duration_ms > 0)
             (0 until framesPerVideo)

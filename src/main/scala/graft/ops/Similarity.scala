@@ -1,7 +1,6 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.security.MessageDigest
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,14 +48,19 @@ object Similarity {
 
   /** (id, raw vector, L2 norm) via one typed pass — the norm is kept
     * as a double so cosine needs no unit-normalized (float-rounded)
-    * copy of the vector. */
+    * copy of the vector. A zero vector gets norm 1.0 so its cosine is
+    * exactly 0.0 (dot is 0) instead of NaN — NaN sorts ABOVE every
+    * real in Spark, which would rank the zero vector as everyone's
+    * top neighbor and pass every >= threshold filter. The SQL oracles
+    * carry the same guard. */
   private def withNorms(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
-        (id, v, math.sqrt(dotF(v, v)))
+        val n = math.sqrt(dotF(v, v))
+        (id, v, if (n == 0.0) 1.0 else n)
       }).toDF("id", "v", "nrm")
   }
 
@@ -79,10 +83,6 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  private val md5Local = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
   /** Deterministic hyperplane matrix: planes(b)(i) = +1 when the first
     * md5 hex digit of "rhp:<seed>:<b>:<i>" is even, else -1 — portable
     * to SQL verbatim. Built once per JVM per (seed, nBits, dim); the
@@ -93,7 +93,7 @@ object Similarity {
   private def planes(seed: Long, nBits: Int, dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((seed, nBits, dim), _ =>
       Array.tabulate(nBits, dim) { (b, i) =>
-        val d = md5Local.get(); d.reset()
+        val d = LshUtil.md5Local.get(); d.reset()
         val h = d.digest(s"rhp:$seed:$b:$i".getBytes(UTF_8))
         if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
       })
@@ -121,21 +121,8 @@ object Similarity {
     * guard (buckets past maxBucket degrade to member↔min-id pairs).
     * Output: (id_a < id_b); carries ids ONLY — vectors re-join by id
     * afterwards. */
-  private def starGuardedPairs(assigned: DataFrame, maxBucket: Int): DataFrame = {
-    val stats = assigned.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_hub"))
-    val tagged = assigned.join(stats, Seq("band", "bucket"))
-    val small = tagged.where(col("bkt_n") <= maxBucket)
-    val l = small.select(col("id").as("id_a"), col("band"), col("bucket"))
-    val r = small.select(col("id").as("id_b"), col("band"), col("bucket"))
-    val allPairs = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val star = tagged
-      .where(col("bkt_n") > maxBucket && col("id") =!= col("bkt_hub"))
-      .select(col("bkt_hub").as("id_a"), col("id").as("id_b"))
-    allPairs.union(star).dropDuplicates("id_a", "id_b")
-  }
+  private def starGuardedPairs(assigned: DataFrame, maxBucket: Int): DataFrame =
+    LshUtil.bucketPairs(assigned, Seq("band", "bucket"), maxBucket)
 
   /** Candidate pairs from random-hyperplane band signatures. */
   private def rhpCandidates(u: DataFrame, bands: Int, bitsPerBand: Int,

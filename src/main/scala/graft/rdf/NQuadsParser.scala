@@ -116,8 +116,8 @@ object NQuadsParser {
           i += 1
           if (i >= n) fail("dangling escape in IRI")
           line.charAt(i) match {
-            case 'u' => sb.appendAll(Character.toChars(readHex(4)))
-            case 'U' => sb.appendAll(Character.toChars(readHex(8)))
+            case 'u' => appendCodePoint(sb, readHex(4))
+            case 'U' => appendCodePoint(sb, readHex(8))
             case e   => fail(s"invalid IRI escape '\\$e'")
           }
         } else { sb.append(c); i += 1 }
@@ -165,8 +165,8 @@ object NQuadsParser {
             case '"'  => sb.append('"'); i += 1
             case '\'' => sb.append('\''); i += 1
             case '\\' => sb.append('\\'); i += 1
-            case 'u'  => sb.appendAll(Character.toChars(readHex(4)))
-            case 'U'  => sb.appendAll(Character.toChars(readHex(8)))
+            case 'u'  => appendCodePoint(sb, readHex(4))
+            case 'U'  => appendCodePoint(sb, readHex(8))
             case e    => fail(s"invalid literal escape '\\$e'")
           }
         } else { sb.append(c); i += 1 }
@@ -174,6 +174,15 @@ object NQuadsParser {
       if (i >= n) fail("unterminated literal")
       i += 1
       sb.toString
+    }
+
+    /** \\U escapes can encode values outside Unicode (e.g.
+      * \\U00110000); Character.toChars would throw
+      * IllegalArgumentException, which is not a parse error callers
+      * can catch — validate first. */
+    private def appendCodePoint(sb: StringBuilder, cp: Int): Unit = {
+      if (!Character.isValidCodePoint(cp)) fail(f"invalid code point U+$cp%X in escape")
+      sb.appendAll(Character.toChars(cp))
     }
 
     /** Reads `\uXXXX`/`\UXXXXXXXX` digits; caller consumed `\u`/`\U`.

@@ -101,8 +101,11 @@ object EarlReport {
     val fixtureDir = args.lift(0).getOrElse("src/test/resources")
     val out = args.lift(1).getOrElse("EARL.ttl")
     val outcomes = run(fixtureDir)
-    val now = java.time.Instant.now().toString.takeWhile(_ != '.')
-    val ttl = render(outcomes, now.take(10), now + "Z")
+    val now = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val ttl = render(outcomes, now.take(10), now)
     Files.write(Paths.get(out), ttl.getBytes(UTF_8))
     val passed = outcomes.count(_.passed)
     println(s"EARL: $passed/${outcomes.size} passed -> $out")

@@ -182,6 +182,39 @@ class OpsSpec extends AnyFunSuite {
     assert((pairs -- expected).isEmpty, s"false positives: ${pairs -- expected}")
   }
 
+  test("zero vector never ranks as a neighbor (cos 0, not NaN)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)) // all-zero: NaN cosine would sort FIRST
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(top1(1L)._1 == 2L, s"zero vector outranked a real one: $top1")
+    assert(top1(3L)._2 == 0.0) // zero vector's own cosines are exactly 0
+    val nd = Similarity.nearDupPairs(vecs, threshold = 0.5).collect()
+    assert(!nd.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L),
+      "zero vector must not pass the near-dup threshold")
+  }
+
+  test("corrupt media payloads become sentinel rows, not task failures") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "image/png", 16, 16, 0L,
+        Array[Byte](1, 2, 3)), // not a PNG
+      Multimodal.MediaRow(2L, "audio", "audio/wav", 0, 0, 1000L,
+        Array[Byte]('R', 'I', 'F', 'F')), // truncated WAV
+      Multimodal.MediaRow(3L, "image", "image/png", 16, 16, 0L,
+        Multimodal.pngBytes(7L)) // valid
+    )
+    val out = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(out(0).features.sameElements(Multimodal.DecodeError))
+    assert(out(1).features.sameElements(Multimodal.DecodeError))
+    assert(out(2).features(0) == 16f) // the valid asset still decodes
+  }
+
   test("token counts, quality signals, fingerprints, lang-id") {
     val d = docs((1L, "The quick brown fox, it jumps!"), (2L, "el la los con que si"))
     val tc = TextOps.withTokenCounts(d).collect().map(r =>
