@@ -28,4 +28,18 @@ class ParserEdgeSpec extends AnyFunSuite {
     val qs = NQuadsParser.parseDocument("<urn:s> <urn:p> <urn:o> _:g.\n")
     assert(qs.head.g == "g" && qs.head.gKind == TermKind.BNode)
   }
+
+  test("out-of-range \\U escapes are parse errors, not JVM exceptions") {
+    // \U00110000 is beyond U+10FFFF; \UFFFFFFFF wraps negative —
+    // both must surface as ParseException so SQL surfaces map them
+    // to NULL instead of a failed query
+    for (bad <- Seq("\\U00110000", "\\UFFFFFFFF")) {
+      intercept[NQuadsParser.ParseException] {
+        NQuadsParser.parseDocument(s"""<urn:s> <urn:p> "$bad" .\n""")
+      }
+    }
+    // valid supplementary code point still decodes
+    val qs = NQuadsParser.parseDocument("<urn:s> <urn:p> \"\\U0001F303\" .\n")
+    assert(qs.head.o == new String(Character.toChars(0x1F303)))
+  }
 }
