@@ -107,6 +107,23 @@ object SparkEntry {
           sum(col("n_chars").cast("long")).as("sum_chars"))
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
 
+    // --- grouping sets: full cube --------------------------------------------
+    "q31_cube" -> ((s, d) =>
+      t(s, d, "documents")
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+
+    // --- pivot (explicit value list keeps the schema deterministic) ----------
+    "q32_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")),
+
     // --- exact dedup ----------------------------------------------------------
     "q11_exact_dedup" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"))
@@ -351,6 +368,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    "q31_cube" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    "q32_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q11_exact_dedup" ->
       """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_key,
         |  MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
