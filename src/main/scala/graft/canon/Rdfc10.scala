@@ -467,8 +467,14 @@ object Rdfc10 {
     */
   def issue(inputQuads: Seq[Quad],
             opts: CanonOptions = CanonOptions.default,
-            log: TraceLogger = NoopTraceLogger): IssueResult = {
-    val quads: IndexedSeq[Quad] = inputQuads.distinct.toIndexedSeq
+            log: TraceLogger = NoopTraceLogger,
+            assumeDistinct: Boolean = false): IssueResult = {
+    // set semantics (oxrdf Dataset); callers that already deduplicated
+    // (the fused pipeline's in-kernel `seen` set) skip the extra
+    // HashSet+Vector per graph
+    val quads: IndexedSeq[Quad] =
+      if (assumeDistinct) inputQuads.toIndexedSeq
+      else inputQuads.distinct.toIndexedSeq
     log.span("ca", "log point: Entering the canonicalization function (4.4.3).") {
       val state = new State(quads, opts, log)
 

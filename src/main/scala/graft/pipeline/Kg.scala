@@ -270,8 +270,9 @@ object Kg {
           prev = ent
         }
       }
+      // `seen` already enforced set semantics — skip the kernel's dedup
       graft.spark.CanonEngine.canonicalizeOne(repo, quads.toVector,
-        graft.canon.CanonOptions(limit, alg, perNode))
+        graft.canon.CanonOptions(limit, alg, perNode), assumeDistinct = true)
     }
   }
 

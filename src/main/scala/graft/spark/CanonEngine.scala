@@ -84,11 +84,15 @@ object CanonEngine {
     case c => c.toString
   }
 
-  /** Canonicalize one graph's quads (driver-side / in-task helper). */
+  /** Canonicalize one graph's quads (driver-side / in-task helper).
+    * `assumeDistinct` skips the set-semantics dedup for callers that
+    * already guarantee it (the fused pipeline's in-kernel set). */
   def canonicalizeOne(key: String, quads: Seq[Quad],
-                      opts: CanonOptions): CanonResult =
+                      opts: CanonOptions,
+                      assumeDistinct: Boolean = false): CanonResult =
     try {
-      val res = Rdfc10.issue(quads, opts)
+      val res = Rdfc10.issue(quads, opts,
+        graft.canon.NoopTraceLogger, assumeDistinct)
       val doc = graft.rdf.NQuadsWriter.serializeDocument(
         Rdfc10.relabel(res.dedupedQuads, res.issuedMap))
       CanonResult(key, doc, mapToJson(res.issuedMap), "ok", res.hndqCalls,
