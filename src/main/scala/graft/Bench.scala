@@ -48,8 +48,11 @@ object Bench {
       var min = Double.MaxValue
       var fails = List.empty[String]
       (0 until trials).foreach { _ =>
+        // NonFatal only: an OOM/StackOverflow means a possibly corrupt
+        // JVM — recording it as a per-query failure and continuing
+        // would produce garbage numbers for every later query
         try { val t = time(f); if (t < min) min = t }
-        catch { case e: Throwable => fails ::= e.getClass.getSimpleName }
+        catch { case scala.util.control.NonFatal(e) => fails ::= e.getClass.getSimpleName }
       }
       Trials(if (min < Double.MaxValue) Some(min) else None, fails.reverse)
     }

@@ -204,10 +204,10 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
 
-    // --- IVF ANN: the second scale path (deterministic stride centroids) ----------
+    // --- IVF ANN: the second scale path (bounded md5-sampled centroids) ----------
     "q30_ivf_ann" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), k = 5, nprobe = 2,
-          centroidStride = 25L)
+          nCentroids = 100)
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
 
@@ -523,9 +523,9 @@ object SparkEntry {
         |  SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM scored)
         |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
 
-    // full SQL replication of ivfTopK: stride-25 centroids, nprobe-2
-    // cell assignment by bit-exact cosine rank, same-cell candidates,
-    // exact cosine top-5
+    // full SQL replication of ivfTopK: 100 md5-sampled centroids,
+    // nprobe-2 cell assignment by bit-exact cosine rank, same-cell
+    // candidates, exact cosine top-5
     "q30_ivf_ann" ->
       """WITH v AS (
         |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
@@ -533,7 +533,8 @@ object SparkEntry {
         |         ELSE sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) END AS nrm
         |  FROM embeddings
         |), c AS (
-        |  SELECT id AS cid, e AS ce, nrm AS cn FROM v WHERE id % 25 = 0
+        |  SELECT id AS cid, e AS ce, nrm AS cn FROM v
+        |  ORDER BY md5('ivf:42:' || id), id LIMIT 100
         |), a AS (
         |  SELECT id, cid FROM (
         |    SELECT v.id, c.cid,

@@ -264,8 +264,11 @@ object Dedup {
       .toDF("id", "sim")
     val chunked = withSim.select(col("id"),
       posexplode(array((0 until nChunks).map { c =>
-        shiftright(col("sim"), offsets(c))
-          .bitwiseAND(lit((1L << widths(c)) - 1L))
+        // width 64 (maxHamming = 0, one chunk): (1L << 64) is a mod-64
+        // JVM shift = 1, so the mask formula would be 0 and every doc
+        // would share bucket 0 — the full-word mask is -1L
+        val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+        shiftright(col("sim"), offsets(c)).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk", "val")))
     val cand = bucketPairs(chunked, Seq("chunk", "val"), maxBucket)
     val a = withSim.select(col("id").as("id_a"), col("sim").as("sim_a"))

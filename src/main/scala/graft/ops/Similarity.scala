@@ -169,26 +169,46 @@ object Similarity {
     rankTopK(withCos(directed, u), k)
   }
 
+  /** BOUNDED centroid selection for [[ivfTopK]]: the `nCentroids`
+    * vectors whose md5("ivf:<seed>:<id>") sorts lowest — a uniform
+    * deterministic sample of FIXED size. Spark plans the
+    * `orderBy(...).limit(K)` as TakeOrderedAndProject (per-partition
+    * top-K, driver merges K rows), so driver memory is O(nCentroids)
+    * REGARDLESS of input row count — unlike the previous stride
+    * quantizer, whose centroid set grew as n/stride (an O(n) driver
+    * collect at 100 TB). Swap in k-means-refined centroids at
+    * deployment without touching the plan. Exposed for the
+    * boundedness test in SimilaritySpec. */
+  private[ops] def selectCentroids(u: DataFrame, nCentroids: Int,
+                                   seed: Long): Array[(Long, Array[Float], Double)] = {
+    val spark = u.sparkSession
+    import spark.implicits._
+    u.withColumn("ck", md5(concat(lit(s"ivf:$seed:"), col("id").cast("string"))))
+      .orderBy(col("ck"), col("id"))
+      .limit(nCentroids)
+      .select("id", "v", "nrm")
+      .as[(Long, Array[Float], Double)]
+      .collect().sortBy(_._1)
+  }
+
   /** IVF ANN top-k — the second scale path next to [[annTopK]]'s LSH:
-    * a small deterministic centroid set (every `centroidStride`-th
-    * input id — a data-derived coarse quantizer; swap in k-means
-    * centroids at deployment without touching the plan) is broadcast,
-    * each vector joins its `nprobe` nearest cells, candidates share a
-    * cell. Cells bound candidate work to ~(n/#cells)·nprobe² per
-    * vector instead of n, the assignment kernel is one broadcast
-    * mapPartitions pass (no shuffle), and the candidate shuffle
-    * carries ids only. Hot cells degrade to star pairs past
-    * `maxBucket`. */
+    * a small deterministic centroid set of AT MOST `nCentroids`
+    * vectors (md5-ordered sample — see [[selectCentroids]]) is
+    * broadcast, each vector joins its `nprobe` nearest cells,
+    * candidates share a cell. Cells bound candidate work to
+    * ~(n/#cells)·nprobe² per vector instead of n, the assignment
+    * kernel is one broadcast mapPartitions pass (no shuffle), and the
+    * candidate shuffle carries ids only. Hot cells degrade to star
+    * pairs past `maxBucket`. */
   def ivfTopK(vecs: DataFrame, k: Int = 5, nprobe: Int = 2,
-              centroidStride: Long = 25L, idCol: String = "vec_id",
+              nCentroids: Int = 100, seed: Long = 42L, idCol: String = "vec_id",
               vecCol: String = "embedding", maxBucket: Int = 2000): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    require(nCentroids >= 1, "nCentroids must be >= 1")
     val u = withNorms(vecs, idCol, vecCol)
-    val cents = u.where(col("id") % centroidStride === 0)
-      .as[(Long, Array[Float], Double)]
-      .collect().sortBy(_._1)
-    require(cents.nonEmpty, "no centroids (centroidStride too large?)")
+    val cents = selectCentroids(u, nCentroids, seed)
+    require(cents.nonEmpty, "no centroids (empty input)")
     val bc = spark.sparkContext.broadcast(cents)
     val assigned = u.as[(Long, Array[Float], Double)]
       .mapPartitions { it =>

@@ -34,18 +34,22 @@ object EventStream {
         col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value_c"))
 
-  /** Streaming exact dedup: events deduped on a content hash within
-    * the watermark horizon — `dropDuplicatesWithinWatermark` keeps
-    * per-key state only until the watermark passes it, so state is
-    * bounded by (event rate × lateness), never by stream length.
-    * The streaming face of `Dedup.exact` for ingest pipelines. */
+  /** Streaming RETRANSMISSION dedup: an at-least-once source replays
+    * whole events, so the dedup key is `event_id` PLUS the content
+    * hash (a replay carries both unchanged; two legitimately distinct
+    * events that happen to share (user, type, value) keep distinct
+    * event_ids and are NOT collapsed — value-level collapsing is
+    * `Dedup.exact`'s batch job, not ingest dedup's).
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until
+    * the watermark passes it, so state is bounded by
+    * (event rate × lateness), never by stream length. */
   def dedupWithinWatermark(events: DataFrame,
                            lateness: String = "10 minutes"): DataFrame =
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("content_key",
         sha2(concat_ws("\u0000",
-          col("user_id"), col("event_type"), col("value")), 256))
+          col("event_id"), col("user_id"), col("event_type"), col("value")), 256))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_key")
 

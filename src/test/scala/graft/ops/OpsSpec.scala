@@ -112,6 +112,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("simhash maxHamming=0: single 64-bit chunk buckets on the FULL word") {
+    // regression: (1L << 64) is a mod-64 JVM shift, so the naive mask
+    // for one 64-wide chunk was 0 — every doc shared bucket 0 and the
+    // star guard silently dropped pairs past maxBucket. With the -1L
+    // mask, distinct simhashes land in distinct buckets and only exact
+    // simhash matches pair.
+    val rows = (0L until 50L).map(i => (i, s"unique doc number $i with words ${"x" * (i % 7).toInt}"))
+    val dup = Seq((100L, rows.head._2), (101L, rows(1)._2))
+    val d = docs(rows ++ dup: _*)
+    val sims = (rows ++ dup).map { case (i, t) => i -> Dedup.simhash64(t) }.toMap
+    val expect = (for {
+      a <- sims.keys; b <- sims.keys if a < b && sims(a) == sims(b)
+    } yield (a, b)).toSet
+    // maxBucket small: would truncate if everything shared one bucket
+    val got = Dedup.simhashPairs(d, maxHamming = 0, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"got=$got expect=$expect")
+    assert(got.contains((0L, 100L)) && got.contains((1L, 101L)))
+  }
+
   test("cosine top-k ranks an identical vector first") {
     import spark.implicits._
     val vecs = Seq(
@@ -154,16 +174,45 @@ class OpsSpec extends AnyFunSuite {
     val df = rows.toDF("vec_id", "embedding")
     val bf = Similarity.bruteForceTopK(df, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(df, k = 3, nprobe = 2, centroidStride = 10L)
+    val ivf = Similarity.ivfTopK(df, k = 3, nprobe = 2, nCentroids = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = bf.intersect(ivf).size.toDouble / bf.size
-    // two tight clusters, stride-10 centroids land ~3 per cluster;
+    // two tight clusters, 6 sampled centroids land ~3 per cluster;
     // nprobe=2 bridges neighbors assigned to sibling cells
     assert(recall > 0.9, s"IVF recall $recall")
     // nprobe=1 must still find a majority (single-cell baseline)
-    val ivf1 = Similarity.ivfTopK(df, k = 3, nprobe = 1, centroidStride = 10L)
+    val ivf1 = Similarity.ivfTopK(df, k = 3, nprobe = 1, nCentroids = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bf.intersect(ivf1).size.toDouble / bf.size > 0.6)
+  }
+
+  test("IVF centroid set is BOUNDED by nCentroids regardless of input size") {
+    import spark.implicits._
+    // the scale-safety contract (VERDICT r2): the driver-side
+    // collected/broadcast set is <= nCentroids whether the table has
+    // 200 rows or 10x that — flat driver memory under scale-up.
+    def table(n: Int) = spark.range(0, n, 1, 8)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 97) / 97.0f)))
+      .toDF("vec_id", "embedding")
+    def centroids(n: Int) = {
+      val u = table(n)
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+        .withColumn("nrm", lit(1.0d))
+      Similarity.selectCentroids(u, nCentroids = 16, seed = 42L)
+    }
+    val small = centroids(200)
+    val big = centroids(2000)
+    assert(small.length == 16 && big.length == 16,
+      s"centroid count must equal nCentroids: ${small.length}/${big.length}")
+    // the plan must be a bounded top-K (TakeOrderedAndProject), not a
+    // full sort or a full collect
+    val u = table(2000)
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      .withColumn("nrm", lit(1.0d))
+      .withColumn("ck", md5(concat(lit("ivf:42:"), col("id").cast("string"))))
+      .orderBy(col("ck"), col("id")).limit(16)
+    assert(u.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      u.queryExecution.executedPlan.toString)
   }
 
   test("embedding near-dup finds planted perturbed copies, skips the rest") {

@@ -42,17 +42,20 @@ class EventStreamSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
-      // same content three times (twice in batch 1, once in batch 2,
-      // all within the watermark) + one distinct event
+      // event 1 retransmitted twice in batch 1 and once more in batch
+      // 2 (same event_id + content -> dropped); event 2 carries the
+      // SAME (user, type, value) but a distinct event_id -> KEPT
+      // (retransmission dedup, not value-level collapsing)
       mem.addData(
         (1L, t(1), 10L, "click", 1.0, ""),
-        (2L, t(2), 10L, "click", 1.0, ""),
+        (1L, t(1), 10L, "click", 1.0, ""),
+        (2L, t(1), 10L, "click", 1.0, ""),
         (3L, t(2), 11L, "view", 2.0, ""))
       q.processAllAvailable()
-      mem.addData((4L, t(3), 10L, "click", 1.0, ""))
+      mem.addData((1L, t(1), 10L, "click", 1.0, ""))
       q.processAllAvailable()
-      val rows = spark.sql("select user_id, event_type from dedup_stream").collect()
-      assert(rows.length == 2, rows.mkString(","))
+      val rows = spark.sql("select event_id from dedup_stream").collect()
+      assert(rows.length == 3, rows.mkString(","))
     } finally q.stop()
   }
 
