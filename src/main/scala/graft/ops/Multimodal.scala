@@ -11,15 +11,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * frame-sample stages as one `mapPartitions` pass (per-partition
   * codec setup, single decode per asset).
   *
-  * Decode status by modality:
-  *  - image: REAL — payloads are PNG bytes, decoded with the JDK's
-  *    `javax.imageio` (no external libs needed);
-  *  - audio: REAL — payloads are RIFF/WAVE PCM-16LE, parsed directly;
-  *  - video: STUB — no video codec exists in a bare JDK, so
-  *    `fakeVideoDecode` derives deterministic features from the bytes;
-  *    the schema, batching and frame-sampling plumbing are the
-  *    production ones. Swap in a real codec (javacpp/ffmpeg) at
-  *    deployment; nothing else changes.
+  * Decode status by modality — ALL REAL:
+  *  - image: PNG bytes, decoded with the JDK's `javax.imageio`;
+  *  - audio: RIFF/WAVE PCM-16LE, parsed directly;
+  *  - video: an MJPEG-style container of concatenated PNG frames
+  *    (`GMJ1` magic + length-prefixed frame table — see
+  *    [[Multimodal.mjpngBytes]]); frame sampling picks indices FIRST
+  *    and only the sampled frames are decoded (non-sampled frames are
+  *    skipped by their length prefix without touching ImageIO) — at
+  *    100 TB the decode cost is proportional to sampled frames, not
+  *    stored frames. Swap the PNG frame codec for H.264
+  *    (javacpp/ffmpeg) at deployment; the container walk, sampling,
+  *    batching and feature schema are the production ones.
   */
 object Multimodal {
 
@@ -85,8 +88,23 @@ object Multimodal {
     buf.array()
   }
 
-  /** Deterministic synthetic media table with REAL payloads (PNG and
-    * WAV bytes; video payload is opaque bytes — see class doc). */
+  /** MJPEG-style video container: "GMJ1" magic, int32 frame count,
+    * then per frame an int32 length prefix + real PNG bytes. The
+    * length-prefixed frame table is what makes sampled decode
+    * possible: a reader seeks past unsampled frames in O(1) per
+    * frame. (Deterministic stand-in for a real codec container —
+    * same structure as MJPEG/AVI's frame index.) */
+  private[ops] def mjpngBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frames = Array.tabulate(nFrames)(i => pngBytes(mix64(seed ^ (0xF00DL + i))))
+    val total = 8 + frames.map(_.length + 4).sum
+    val buf = java.nio.ByteBuffer.allocate(total) // big-endian default
+    buf.put("GMJ1".getBytes("US-ASCII")).putInt(nFrames)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Deterministic synthetic media table with REAL payloads (PNG,
+    * WAV, and GMJ1 PNG-frame video — see class doc). */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, numPartitions = 8).map { id =>
@@ -97,12 +115,7 @@ object Multimodal {
       val payload = kind match {
         case "image" => pngBytes(h)
         case "audio" => wavBytes(h, 400 + (math.abs(h) % 800).toInt)
-        case _ =>
-          val len = 64 + (math.abs(h) % 192).toInt
-          val bytes = new Array[Byte](len)
-          var i = 0; var x = h
-          while (i < len) { x = mix64(x); bytes(i) = x.toByte; i += 1 }
-          bytes
+        case _ => mjpngBytes(h, 3 + (math.abs(h) % 4).toInt)
       }
       MediaRow(id, kind,
         kind match { case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4" },
@@ -167,19 +180,71 @@ object Multimodal {
       peak.toFloat, zeroX.toFloat, 8000f, 16f, 1f)
   }
 
-  /** STUB decode for video (clearly marked — no codec in a bare JDK):
-    * deterministic features from payload bytes; replace with a real
-    * frame decoder at deployment. */
-  private def fakeVideoDecode(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
-    var acc = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < payload.length) {
-      acc = mix64(acc ^ payload(i))
-      out(i % 8) += (acc % 1000L) / 1000.0f
-      i += 1
+  /** Evenly-spaced distinct sample indices over [0, nFrames). */
+  private[ops] def sampleIndices(nFrames: Int, framesPerVideo: Int): Array[Long] =
+    (0 until framesPerVideo).map(i => i.toLong * nFrames / framesPerVideo)
+      .distinct.toArray
+
+  /** REAL video decode over the GMJ1 container: validate the header,
+    * walk the length-prefixed frame table, decode ONLY the frames in
+    * `sampled` (others are skipped in O(1) by their length prefix),
+    * and aggregate per-frame luma statistics into the 8-feature
+    * vector. Any structural damage (bad magic, truncated table,
+    * undecodable frame) yields (DecodeError, empty) — a sentinel row,
+    * never a task failure. */
+  private def videoFeatures(payload: Array[Byte],
+                            framesPerVideo: Int): (Array[Float], Array[Long]) = {
+    val none = (DecodeError, Array.empty[Long])
+    if (payload.length < 8 || payload(0) != 'G' || payload(1) != 'M' ||
+        payload(2) != 'J' || payload(3) != '1') return none
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    buf.position(4)
+    val nFrames = buf.getInt
+    if (nFrames <= 0 || nFrames > 1000000) return none
+    val sampled = sampleIndices(nFrames, framesPerVideo)
+    val want = sampled.map(_.toInt).toSet
+    var w = 0; var h = 0
+    var sumLuma = 0.0
+    var minLuma = Double.MaxValue; var maxLuma = Double.MinValue
+    var prevLuma = Double.NaN; var sumDelta = 0.0; var nDelta = 0
+    var decoded = 0
+    var f = 0
+    while (f < nFrames) {
+      if (buf.remaining() < 4) return none
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) return none
+      if (want.contains(f)) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, buf.position(), len))
+        if (img == null) return none
+        w = img.getWidth; h = img.getHeight
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        val luma = s.toDouble / (w * h)
+        sumLuma += luma
+        if (luma < minLuma) minLuma = luma
+        if (luma > maxLuma) maxLuma = luma
+        if (!prevLuma.isNaN) { sumDelta += math.abs(luma - prevLuma); nDelta += 1 }
+        prevLuma = luma
+        decoded += 1
+      }
+      buf.position(buf.position() + len) // O(1) skip — sampled or not
+      f += 1
     }
-    out
+    if (decoded == 0) return none
+    val feats = Array(nFrames.toFloat, w.toFloat, h.toFloat,
+      (sumLuma / decoded).toFloat, minLuma.toFloat, maxLuma.toFloat,
+      (if (nDelta == 0) 0.0 else sumDelta / nDelta).toFloat, decoded.toFloat)
+    (feats, sampled)
   }
 
   /** decode + feature-extract + frame-sample as one mapPartitions
@@ -191,20 +256,15 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition codec init would go here (ImageIO is static)
       it.map { m =>
-        val feats =
+        val (feats, frames) =
           try m.kind match {
-            case "image" => imageFeatures(m.payload)
-            case "audio" => audioFeatures(m.payload)
-            case _       => fakeVideoDecode(m.payload)
+            case "image" => (imageFeatures(m.payload), Array.empty[Long])
+            case "audio" => (audioFeatures(m.payload), Array.empty[Long])
+            case _       => videoFeatures(m.payload, framesPerVideo)
           } catch {
             // truncated / lying payloads must not kill the stage
-            case scala.util.control.NonFatal(_) => DecodeError
+            case scala.util.control.NonFatal(_) => (DecodeError, Array.empty[Long])
           }
-        val frames: Array[Long] =
-          if (m.kind == "video" && m.duration_ms > 0)
-            (0 until framesPerVideo)
-              .map(i => i.toLong * m.duration_ms / framesPerVideo).toArray
-          else Array.empty[Long]
         MediaFeatures(m.media_id, m.kind, m.payload.length, feats, frames)
       }
     }

@@ -300,8 +300,43 @@ class OpsSpec extends AnyFunSuite {
       assert(rate == 8000f && bits == 16f && ch == 1f)
       assert(math.abs(mean) <= peak)
     }
-    f1.filter(_.kind == "video").foreach(v => assert(v.sampled_frames.length == 4))
+    // video features come from REAL per-frame PNG decode of the GMJ1
+    // container; only sampled frames are decoded
+    f1.filter(_.kind == "video").foreach { v =>
+      val Array(nFrames, w, h, meanLuma, minLuma, maxLuma, meanDelta, nDecoded) = v.features
+      assert(nFrames >= 3f && nFrames <= 6f, s"nFrames $nFrames")
+      assert(w == 16f && h == 16f)
+      assert(minLuma <= meanLuma && meanLuma <= maxLuma)
+      assert(meanDelta >= 0f)
+      assert(v.sampled_frames.length == math.min(4, nFrames.toInt))
+      assert(nDecoded == v.sampled_frames.length.toFloat)
+      assert(v.sampled_frames.forall(i => i >= 0 && i < nFrames.toLong))
+      assert(v.sampled_frames.toSeq == v.sampled_frames.toSeq.sorted.distinct)
+    }
     f1.filter(_.kind != "video").foreach(v => assert(v.sampled_frames.isEmpty))
+  }
+
+  test("corrupt video container/frame becomes a sentinel row") {
+    import spark.implicits._
+    val good = Multimodal.mjpngBytes(99L, 5)
+    // flip bytes in the MIDDLE of a frame's PNG data (offset past the
+    // header + first length prefix) -> that frame fails ImageIO
+    val corruptFrame = good.clone()
+    (20 until 40).foreach(i => corruptFrame(i) = (corruptFrame(i) ^ 0x5A).toByte)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    val truncated = good.take(good.length / 2)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", "video/gmj1", 0, 0, 5000L, good),
+      Multimodal.MediaRow(2L, "video", "video/gmj1", 0, 0, 5000L, corruptFrame),
+      Multimodal.MediaRow(3L, "video", "video/gmj1", 0, 0, 5000L, badMagic),
+      Multimodal.MediaRow(4L, "video", "video/gmj1", 0, 0, 5000L, truncated))
+    val out = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(out(0).features(0) == 5f && out(0).sampled_frames.nonEmpty)
+    (1 to 3).foreach { i =>
+      assert(out(i).features.sameElements(Multimodal.DecodeError), s"row $i")
+      assert(out(i).sampled_frames.isEmpty, s"row $i")
+    }
   }
 
   test("multimodal resize re-encodes images at the target resolution") {
@@ -332,6 +367,19 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
     assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
     assert(wav.length == 44 + 200)
+    // the video container holds real, individually-decodable PNG frames
+    val vid = Multimodal.mjpngBytes(1234L, 3)
+    assert(new String(vid.slice(0, 4), "US-ASCII") == "GMJ1")
+    val buf = java.nio.ByteBuffer.wrap(vid); buf.position(4)
+    assert(buf.getInt == 3)
+    (0 until 3).foreach { _ =>
+      val len = buf.getInt
+      val frame = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(vid, buf.position(), len))
+      assert(frame != null && frame.getWidth == 16)
+      buf.position(buf.position() + len)
+    }
+    assert(!buf.hasRemaining)
   }
 
   test("doc-kg canonicalization is deterministic and all-ok") {
