@@ -427,25 +427,31 @@ object SparkEntry {
         |  FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    // lang-id argmax: Spark's array_max over struct(score, lang) picks
-    // the highest score, ties broken by the LARGEST lang string — the
-    // CASE tests langs in descending order to match.
+    // lang-id argmax over the 20-language char-n-gram profiles: the
+    // per-language score is the character count covered by profile
+    // n-grams (length-minus-replace, bit-identical in DuckDB); Spark's
+    // array_max over struct(score, lang) picks the highest score, ties
+    // broken by the LARGEST lang string — the CASE tests langs in
+    // descending order to match.
     "q16_langid_pred" -> {
-      val langs = TextOps.LangMarkers.toSeq.sortBy(_._1)
-      val scoreCols = langs.map { case (lang, ms) =>
-        val list = ms.toSeq.sorted.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(regexp_split_to_array(text, ' +'), x -> x IN ($list))) AS s_$lang"
+      val langs = TextOps.LangProfiles.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, ngrams) =>
+        val terms = ngrams
+          .map(gm => s"(length(p) - length(replace(p, '$gm', '')))")
+          .mkString(" + ")
+        s"$terms AS s_$lang"
       }.mkString(",\n    ")
       val g = langs.map(l => s"s_${l._1}").mkString("GREATEST(", ", ", ")")
       val arms = langs.reverse.init
         .map { case (lang, _) => s"WHEN s_$lang = g THEN '$lang'" }
-        .mkString(" ")
+        .mkString("\n  ")
       val names = langs.map(l => s"s_${l._1}").mkString(", ")
-      s"""SELECT doc_id, CASE WHEN g = 0 THEN 'und' $arms ELSE '${langs.head._1}' END AS lang_pred
+      s"""SELECT doc_id, CASE WHEN g = 0 THEN 'und'
+         |  $arms ELSE '${langs.head._1}' END AS lang_pred
          |FROM (SELECT doc_id, $names, $g AS g FROM (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |    $scoreCols
-         |  FROM documents))
+         |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)))
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -81,13 +81,20 @@ object Kg {
       .as[LinkedMention]
   }
 
-  /** Connected components over alias edges, hybrid by edge count:
+  /** Connected components over alias edges, hybrid by size:
     *
-    *  - edge sets under `smallThreshold` (the common case: the alias
-    *    graph is dictionary-sized, orders of magnitude smaller than
-    *    the corpus) run union-find on the driver and come back as a
+    *  - inputs where BOTH the edge set and the vertex set are under
+    *    `smallThreshold` (the common case: the alias graph is
+    *    dictionary-sized, orders of magnitude smaller than the
+    *    corpus) run union-find on the driver and come back as a
     *    broadcastable DataFrame — ZERO iterative Spark jobs, killing
     *    the per-iteration scheduling latency that dominates small CC.
+    *    The vertex gate matters independently of the edge gate: the
+    *    driver path collects ALL vertices (they are the output rows),
+    *    so a caller with few edges but a huge vertex table must not
+    *    be surprised by an O(|V|) driver collect. The vertex count is
+    *    probed with `limit(threshold + 1)` — an early-stopping
+    *    CollectLimit, never a full scan of a 100 TB vertex table.
     *  - larger sets use iterative DataFrame min-label propagation
     *    with per-iteration `localCheckpoint` lineage truncation
     *    (SURVEY §2b / §7.4-6), convergence = changed-count 0.
@@ -100,7 +107,11 @@ object Kg {
                           smallThreshold: Long = 500000L): DataFrame = {
     val spark = vertices.sparkSession
     val edgeCount = edges.count()
-    if (edgeCount <= smallThreshold) {
+    val vertexCountCapped =
+      if (edgeCount <= smallThreshold)
+        vertices.select("name").limit(math.min(smallThreshold + 1, Int.MaxValue).toInt).count()
+      else smallThreshold + 1 // edge gate already failed; skip the probe
+    if (edgeCount <= smallThreshold && vertexCountCapped <= smallThreshold) {
       val vs = vertices.select("name").collect().map(_.getString(0))
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x: String): String = {

@@ -65,6 +65,28 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(small == cc)
   }
 
+  test("large-vertex/small-edge input takes the distributed path (vertex gate)") {
+    // 2 edges but vertices > smallThreshold: the driver fast path
+    // would collect EVERY vertex, so the vertex gate must route this
+    // to distributed propagation — and the result must still label
+    // every vertex (isolated ones map to themselves).
+    import spark.implicits._
+    val names = (0 until 40).map(i => f"v$i%03d")
+    val vertices = names.toDF("name")
+    val edges = spark.createDataset(
+      Seq(AliasEdge("v001", "v000"), AliasEdge("v003", "v002")))
+    val cc = Kg.connectedComponents(vertices, edges, maxIter = 20, smallThreshold = 10)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc.size == 40)
+    assert(cc("v001") == "v000" && cc("v000") == "v000")
+    assert(cc("v003") == "v002")
+    names.drop(4).foreach(n => assert(cc(n) == n, s"isolated $n relabeled"))
+    // and it agrees with the driver path at a permissive threshold
+    val drv = Kg.connectedComponents(vertices, edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(drv == cc)
+  }
+
   test("end-to-end pipeline: P/R = 1, all graphs ok, resume skips stages") {
     val work = Files.createTempDirectory("kgtest").toString
     val r1 = KgPipeline.run(spark, work, cfg)
