@@ -20,10 +20,22 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *    degrades (soundly) to a full recompute. In practice the
   *    dictionary-sized map is stable across snapshots.
   *
-  * Unchanged repos carry their previous canonical output forward
-  * untouched; deleted repos drop out (state inner-joins the current
-  * snapshot's repo set). `IncrementalSpec` pins
-  * incremental == from-scratch byte equality.
+  * State is CONTENT-ADDRESSED: the per-repo state rows carry only
+  * `outputSha256` (plus small metrics); the canonical N-Quads
+  * documents live once in a separate `(outputSha256, canonicalNQuads)`
+  * doc store keyed by their own sha. An increment therefore writes
+  * large strings only for freshly produced documents — carrying an
+  * unchanged repo forward moves a fixed-width row, never its
+  * multi-KB canonical text (the round-2 design rewrote every reused
+  * document's string through each state union). [[Increment.resolve]]
+  * joins the text back on demand; `IncrementalSpec` pins
+  * incremental == from-scratch byte equality through that join.
+  *
+  * Unchanged repos carry their previous state rows forward untouched;
+  * deleted repos drop out (state inner-joins the current snapshot's
+  * repo set). The doc store is append-only garbage: orphaned documents
+  * can be vacuumed by an occasional anti-join against state — never on
+  * the increment's critical path.
   */
 object Incremental {
 
@@ -40,12 +52,31 @@ object Incremental {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  private val StateCols =
+    Seq("repo", "fingerprint", "status", "quadCount", "bnodeCount", "outputSha256")
+
   /** Result of one incremental run. `fresh` rows were recomputed,
-    * `reused` rows carried forward; `state` is the full new snapshot
-    * state (the table to persist for the next increment). */
-  final case class Increment(ccFingerprint: Long, fresh: DataFrame, reused: DataFrame) {
+    * `reused` rows carried forward — both WITHOUT document bodies;
+    * `state` is the full new snapshot state (the table to persist for
+    * the next increment). `newDocs` holds the (outputSha256,
+    * canonicalNQuads) pairs produced by THIS increment — append them
+    * to the content-addressed doc store via [[appendDocs]]. */
+  final case class Increment(ccFingerprint: Long, fresh: DataFrame,
+                             reused: DataFrame, newDocs: DataFrame) {
     def state: DataFrame = fresh.unionByName(reused)
   }
+
+  /** Content-addressed append: only shas the store has not seen are
+    * written (idempotent under replay). */
+  def appendDocs(store: DataFrame, newDocs: DataFrame): DataFrame =
+    store.unionByName(newDocs).dropDuplicates("outputSha256")
+
+  /** Join document bodies back onto state rows (broadcast-free: both
+    * sides shuffle on the sha — at scale the doc store is as large as
+    * the corpus output). Only ok-status rows have a document. */
+  def resolve(state: DataFrame, docStore: DataFrame): DataFrame =
+    state.join(docStore, Seq("outputSha256"), "left")
+      .select((StateCols :+ "canonicalNQuads").map(col): _*)
 
   /** Canonicalize the snapshot incrementally against `prev` =
     * (previous ccFingerprint, previous state) from the last run; pass
@@ -79,27 +110,29 @@ object Incremental {
       .join(changed.select("repo"), Seq("repo"), "left_semi")
       .as[FileRow]
     val linked = Kg.linkMentions(Kg.detectMentions(changedFiles, dictBc), dictDf)
-    val fresh = Kg.canonicalizeFromMentions(linked, cc, opts).toDF()
+    val freshFull = Kg.canonicalizeFromMentions(linked, cc, opts).toDF()
       .withColumnRenamed("key", "repo")
       .join(changed, Seq("repo"))
-      .select("repo", "fingerprint", "status", "quadCount", "bnodeCount",
-        "outputSha256", "canonicalNQuads")
+      .localCheckpoint() // computed once; consumed by fresh AND newDocs
+    val fresh = freshFull.select(StateCols.map(col): _*)
+    val newDocs = freshFull
+      .where(col("status") === "ok")
+      .select("outputSha256", "canonicalNQuads")
+      .dropDuplicates("outputSha256")
 
     val reused: DataFrame = prev match {
       case Some((prevCcFp, prevState)) if prevCcFp == ccFp =>
         prevState
           .join(changed.select("repo"), Seq("repo"), "left_anti")
           .join(fps.select("repo"), Seq("repo"), "left_semi") // drop deleted repos
-          .select("repo", "fingerprint", "status", "quadCount", "bnodeCount",
-            "outputSha256", "canonicalNQuads")
-      case _ => spark.emptyDataFrame
-          .withColumn("repo", lit("")).limit(0)
+          .select(StateCols.map(col): _*)
+      case _ =>
+        spark.emptyDataFrame.limit(0)
           .select(lit("").as("repo"), lit(0L).as("fingerprint"),
             lit("").as("status"), lit(0L).as("quadCount"),
-            lit(0).as("bnodeCount"), lit("").as("outputSha256"),
-            lit("").as("canonicalNQuads"))
+            lit(0).as("bnodeCount"), lit("").as("outputSha256"))
     }
 
-    Increment(ccFp, fresh, reused)
+    Increment(ccFp, fresh, reused, newDocs)
   }
 }

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Incremental recanonicalization: only changed repos recompute, the
-  * carried-forward state is byte-identical to a from-scratch run. */
+  * carried-forward state (content-addressed: rows hold shas, document
+  * bodies live once in the doc store) is byte-identical to a
+  * from-scratch run. */
 class IncrementalSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
@@ -32,14 +34,19 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
-  test("only changed repos recompute; state equals a from-scratch run") {
+  test("only changed repos recompute; resolved state equals a from-scratch run") {
     val filesA = Corpus.generate(spark, cfg)
-    // bootstrap: everything fresh
+    // bootstrap: everything fresh; the doc store starts from newDocs
     val inc0 = Incremental.run(filesA, dictNames, None)
     val state0 = inc0.state.cache()
+    val docs0 = inc0.newDocs.cache()
     assert(inc0.reused.count() == 0)
     val repos0 = state0.select("repo").collect().map(_.getString(0)).toSet
     assert(repos0.nonEmpty)
+
+    // state rows are content-addressed: NO document bodies in state
+    assert(!state0.columns.contains("canonicalNQuads"),
+      s"state must not carry document bodies: ${state0.columns.mkString(",")}")
 
     // snapshot B: mutate two repos
     val changedRepos = repos0.toSeq.sorted.take(2).toSet
@@ -50,19 +57,30 @@ class IncrementalSpec extends AnyFunSuite {
     assert(freshRepos == changedRepos, s"recomputed $freshRepos != $changedRepos")
     assert(inc1.reused.count() == repos0.size - changedRepos.size)
 
+    // the increment WRITES documents only for the changed sliver —
+    // the unchanged corpus contributes zero bytes of document text
+    // (this is the content-addressing contract that makes increment
+    // cost independent of unchanged-corpus size)
+    assert(inc1.newDocs.count() <= changedRepos.size,
+      s"newDocs ${inc1.newDocs.count()} > changed ${changedRepos.size}")
+
+    val docs1 = Incremental.appendDocs(docs0, inc1.newDocs)
+
     // gold check: incremental state == from-scratch state, byte-exact
+    // through the content-addressed resolve join
     val scratch = Incremental.run(filesB, dictNames, None)
     def shas(df: org.apache.spark.sql.DataFrame) =
       df.select("repo", "outputSha256", "canonicalNQuads").collect()
         .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-    assert(shas(inc1.state) == shas(scratch.state))
+    assert(shas(Incremental.resolve(inc1.state, docs1))
+      == shas(Incremental.resolve(scratch.state, scratch.newDocs)))
 
     // the mutated repos really changed output; the rest carried over
-    val before = shas(state0)
-    val after = shas(inc1.state)
+    val before = shas(Incremental.resolve(state0, docs0))
+    val after = shas(Incremental.resolve(inc1.state, docs1))
     changedRepos.foreach(r => assert(before(r) != after(r), s"$r should differ"))
     (repos0 -- changedRepos).foreach(r => assert(before(r) == after(r)))
-    state0.unpersist()
+    state0.unpersist(); docs0.unpersist()
   }
 
   test("a changed canonical entity map soundly forces full recompute") {
@@ -75,5 +93,25 @@ class IncrementalSpec extends AnyFunSuite {
     assert(inc1.reused.count() == 0)
     assert(inc1.fresh.count() == state0.count())
     state0.unpersist()
+  }
+
+  test("appendDocs is idempotent and dedups by sha (content addressing)") {
+    val filesA = Corpus.generate(spark, cfg)
+    val inc0 = Incremental.run(filesA, dictNames, None)
+    val docs0 = inc0.newDocs.cache()
+    val n = docs0.count()
+    // shas are unique in the store
+    assert(docs0.select("outputSha256").distinct().count() == n)
+    // replaying the same append adds nothing
+    assert(Incremental.appendDocs(docs0, inc0.newDocs).count() == n)
+    // an unchanged-snapshot increment produces ZERO new documents and
+    // zero fresh rows: the whole corpus carries forward as fixed-width
+    // state rows only
+    val inc1 = Incremental.run(filesA, dictNames,
+      Some((inc0.ccFingerprint, inc0.state)))
+    assert(inc1.fresh.count() == 0)
+    assert(inc1.newDocs.count() == 0)
+    assert(inc1.reused.count() == inc0.state.count())
+    docs0.unpersist()
   }
 }

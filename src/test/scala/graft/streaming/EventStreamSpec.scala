@@ -99,6 +99,65 @@ class EventStreamSpec extends AnyFunSuite {
     assert(sessions.count(_.user_id == 2L) == 1)
   }
 
+  test("PROPERTY: micro-batched streaming sessionize == batch sessionize") {
+    // Generative batch/stream equivalence: the same event set, run
+    // through sessionizeBatch and through the streaming path split
+    // into k time-contiguous micro-batches (k varies per seed), must
+    // yield the identical session set. Open sessions are flushed with
+    // a far-future sentinel event per user (whose own trailing session
+    // stays open in state and is never emitted), so the comparison is
+    // exact. Raw ScalaCheck generators with deterministic seeds (the
+    // scalatest-scalacheck bridge is not in the offline cache).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 600000L
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    val evGen: Gen[List[EventStream.SessionEvent]] = for {
+      n <- Gen.choose(5, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        // 30s grid over 3h -> exact-ts ties occur, exercising the
+        // (ts, value) tie-break across batch boundaries
+        off <- Gen.choose(0L, 360L)
+        v <- Gen.choose(1, 9)
+      } yield EventStream.SessionEvent(u, new Timestamp(base + off * 30000L), v.toDouble))
+    } yield evs
+
+    def key(s: EventStream.SessionOut) =
+      (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events, s.sum_value)
+
+    (0 until 6).foreach { i =>
+      val events = evGen.pureApply(Gen.Parameters.default, Seed(9000L + i))
+      val expected = EventStream.sessionize(events.toDS(), gapMs, flushTrailing = true)
+        .collect().map(key).toSet
+
+      val maxTs = events.map(_.ts.getTime).max
+      val sentinels = events.map(_.user_id).distinct.map(u =>
+        EventStream.SessionEvent(u, new Timestamp(maxTs + 10 * gapMs), 0.0))
+      val sorted = events.sortBy(e => (e.ts.getTime, e.user_id, e.value))
+      val k = 1 + (i % 4)
+      val per = math.max(1, (sorted.length + k - 1) / k)
+      val chunks = sorted.grouped(per).toList :+ sentinels
+
+      val mem = MemoryStream[EventStream.SessionEvent]
+      val q = EventStream.sessionize(mem.toDS(), gapMs)
+        .writeStream.format("memory").queryName(s"sess_eq_$i")
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c =>
+          if (c.nonEmpty) { mem.addData(c); q.processAllAvailable() }
+        }
+        val got = spark.table(s"sess_eq_$i").as[EventStream.SessionOut]
+          .collect().map(key).toSet
+        assert(got == expected,
+          s"seed ${9000 + i} (k=$k): got ${got.toSeq.sorted} expected ${expected.toSeq.sorted}")
+      } finally q.stop()
+    }
+  }
+
   test("backfill sessionization streams a mega-user without buffering") {
     import spark.implicits._
     // one user, 300k events, a gap every 1000 events -> 300 sessions.
