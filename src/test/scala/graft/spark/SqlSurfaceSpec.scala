@@ -48,12 +48,84 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows == Map("poison" -> true, "garbage" -> true))
   }
 
+  test("SQL-only per-graph canonicalization == Dataset API, byte-equal") {
+    // the distributed engine composed in pure SQL: GROUP BY repo +
+    // the rdfc10_canon_dataset aggregate over the triple table must
+    // reproduce CanonEngine.canonicalizePerGraph byte-for-byte
+    import graft.pipeline.{Corpus, Kg}
+    import spark.implicits._
+    val cfg = Corpus.Config(nRepos = 6, baseFilesPerRepo = 4)
+    val dictNames = (0 until cfg.nEntities).map(Corpus.entityName)
+    val dict = spark.sparkContext.broadcast(dictNames.toSet)
+    val files = Corpus.generate(spark, cfg)
+    val linked = Kg.linkMentions(Kg.detectMentions(files, dict), dictNames.toDF("name"))
+    val cc = Kg.connectedComponents(dictNames.toDF("name"), Kg.detectAliases(files))
+    val triples = Kg.dedupTriples(Kg.emitTriples(linked, cc))
+    triples.createOrReplaceTempView("triples")
+
+    val viaSql = spark.sql(
+      """SELECT repo,
+        |       rdfc10_canon_dataset(subjKind, subj, pred, obj, objKind) AS r
+        |FROM triples GROUP BY repo""".stripMargin)
+      .selectExpr("repo", "r.status", "r.canonicalNQuads", "r.outputSha256")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+
+    val viaApi = Kg.canonicalizeTriples(triples).collect()
+      .map(r => r.key -> (r.status, r.canonicalNQuads, r.outputSha256)).toMap
+    assert(viaSql == viaApi)
+    assert(viaApi.size == cfg.nRepos && viaApi.values.forall(_._1 == "ok"))
+  }
+
+  test("SQL aggregate 9-arg quad form is byte-exact vs a W3C golden") {
+    import spark.implicits._
+    // dataset fixture with IRI/bnode graph names through the quad form
+    val quads = graft.rdf.NQuadsParser.parseDocument(fixture("test070-in.nq"))
+    quads.toDF().createOrReplaceTempView("quads70")
+    val out = spark.sql(
+      """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM quads70""".stripMargin)
+      .selectExpr("r.canonicalNQuads").collect().head.getString(0)
+    assert(out == fixture("test070-rdfc10.nq"))
+  }
+
+  test("SQL aggregate: poison group yields an error STATUS row, query survives") {
+    import spark.implicits._
+    val poison = graft.rdf.NQuadsParser.parseDocument(fixture("test074-in.nq"))
+      .map(q => ("poison", q))
+    val fine = graft.rdf.NQuadsParser.parseDocument(fixture("test020-in.nq"))
+      .map(q => ("fine", q))
+    (poison ++ fine).map { case (k, q) =>
+      (k, q.sKind, q.s, q.p, q.oKind, q.o, q.oDt, q.oLang, q.gKind, q.g)
+    }.toDF("k", "sKind", "s", "p", "oKind", "o", "oDt", "oLang", "gKind", "g")
+      .createOrReplaceTempView("mixed")
+    val rows = spark.sql(
+      """SELECT k, rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM mixed GROUP BY k""".stripMargin)
+      .selectExpr("k", "r.status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("fine") == "ok")
+    assert(rows("poison") == "HndqCallLimitExceeded(4000)")
+  }
+
+  test("SQL aggregate dedups input quads (set semantics) in the buffer") {
+    import spark.implicits._
+    val quads = graft.rdf.NQuadsParser.parseDocument(fixture("test020-in.nq"))
+    (quads ++ quads ++ quads).toDF().createOrReplaceTempView("dup20")
+    val out = spark.sql(
+      """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM dup20""".stripMargin)
+      .selectExpr("r.canonicalNQuads", "r.quadCount").collect().head
+    assert(out.getString(0) == fixture("test020-rdfc10.nq"))
+    assert(out.getLong(1) == quads.size)
+  }
+
   test("extension class injects the same functions at session build") {
     // GraftExtensions delegates to GraftFunctions.functions — assert
-    // the injection list covers both names (the shared-session test
-    // above already proves the builders work end to end).
+    // the injection list covers all names (the shared-session tests
+    // above already prove the builders work end to end).
     val names = GraftFunctions.functions.map(_._1.funcName).toSet
-    assert(names == Set("rdfc10_canonicalize", "rdfc10_issue"))
+    assert(names == Set("rdfc10_canonicalize", "rdfc10_issue", "rdfc10_canon_dataset"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 }
