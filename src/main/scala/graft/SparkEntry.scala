@@ -191,7 +191,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5)
         .orderBy("id_a", "id_b")),
     "q28_jaccard_stats" -> ((s, d) =>
-      Dedup.ngramShingleStats(t(s, d, "documents"))),
+      // threshold matches the q21 pair join this index serves
+      Dedup.ngramShingleStats(t(s, d, "documents"), threshold = 0.5)),
 
     // --- similarity search ----------------------------------------------------------
     "q22_cosine_topk" -> ((s, d) =>
@@ -208,6 +209,15 @@ object SparkEntry {
     "q30_ivf_ann" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), k = 5, nprobe = 2,
           nCentroids = 100)
+        .select(col("id_a"), col("id_b"), col("rank"))
+        .orderBy("id_a", "rank")),
+
+    // --- IVF ANN, auto-K: centroid count tracks n / targetCellSize so
+    // cell size (and per-vector candidate work) stays CONSTANT as the
+    // corpus grows — the 100 TB configuration of q30 ---------------------
+    "q34_ivf_auto" -> ((s, d) =>
+      Similarity.ivfTopKAuto(t(s, d, "embeddings"), k = 5, nprobe = 2,
+          targetCellSize = 25)
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
 
@@ -261,21 +271,42 @@ object SparkEntry {
     }),
     "q27_kg_canon" -> ((s, d) => {
       import s.implicits._
-      val cfg = graft.pipeline.Corpus.Config(nRepos = 8, baseFilesPerRepo = 6)
-      val dictNames = (0 until cfg.nEntities).map(graft.pipeline.Corpus.entityName)
-      val dict = s.sparkContext.broadcast(dictNames.toSet)
-      val files = graft.pipeline.Corpus.generate(s, cfg)
-      val mentions = graft.pipeline.Kg.detectMentions(files, dict)
-      val linked = graft.pipeline.Kg.linkMentions(mentions, dictNames.toDF("name"))
-      val aliases = graft.pipeline.Kg.detectAliases(files)
-      val cc = graft.pipeline.Kg.connectedComponents(dictNames.toDF("name"), aliases)
-      val triples = graft.pipeline.Kg.dedupTriples(
-        graft.pipeline.Kg.emitTriples(linked, cc))
+      val triples = corpusTriples(s)
       graft.pipeline.Kg.canonicalizeTriples(triples)
         .toDF().select("key", "status", "quadCount", "outputSha256")
         .orderBy("key")
+    }),
+
+    // --- pure-SQL surface over the distributed engine: the
+    // rdfc10_canon_dataset aggregate (GROUP BY repo) must reproduce the
+    // Dataset API, verified against the same style of golden oracle ---
+    "q33_sql_canon" -> ((s, d) => {
+      graft.spark.GraftFunctions.register(s)
+      corpusTriples(s).createOrReplaceTempView("graft_q33_triples")
+      s.sql(
+        """SELECT repo AS key, r.status, r.quadCount, r.outputSha256
+          |FROM (SELECT repo,
+          |        rdfc10_canon_dataset(subjKind, subj, pred, obj, objKind) AS r
+          |      FROM graft_q33_triples GROUP BY repo)
+          |ORDER BY key""".stripMargin)
     })
   )
+
+  /** Shared deterministic KG triple table for q27/q33 (8-repo synthetic
+    * corpus through mention detection, link scoring, CC, emission,
+    * dedup). */
+  private def corpusTriples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val cfg = graft.pipeline.Corpus.Config(nRepos = 8, baseFilesPerRepo = 6)
+    val dictNames = (0 until cfg.nEntities).map(graft.pipeline.Corpus.entityName)
+    val dict = s.sparkContext.broadcast(dictNames.toSet)
+    val files = graft.pipeline.Corpus.generate(s, cfg)
+    val mentions = graft.pipeline.Kg.detectMentions(files, dict)
+    val linked = graft.pipeline.Kg.linkMentions(mentions, dictNames.toDF("name"))
+    val aliases = graft.pipeline.Kg.detectAliases(files)
+    val cc = graft.pipeline.Kg.connectedComponents(dictNames.toDF("name"), aliases)
+    graft.pipeline.Kg.dedupTriples(graft.pipeline.Kg.emitTriples(linked, cc))
+  }
 
   /** Shared oracle CTE: distinct 5-gram shingles per document as md5
     * hex ids — the SQL twin of Dedup.shingleHashes (which keeps the
@@ -307,7 +338,8 @@ object SparkEntry {
     * source — regenerate via `graft.tools.GoldenOracleGen` whenever
     * the operators change. */
   val GoldenOracleNames: Seq[String] =
-    Seq("q24_multimodal", "q25_dockg_canon", "q26_kg_mentions", "q27_kg_canon")
+    Seq("q24_multimodal", "q25_dockg_canon", "q26_kg_mentions", "q27_kg_canon",
+      "q33_sql_canon")
 
   /** DuckDB oracles. Omitted keys → driver does a rows-only check. */
   def oracleSql: Map[String, String] = baseOracleSql ++ GoldenOracles.sql
@@ -560,6 +592,37 @@ object SparkEntry {
         |  SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM scored)
         |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
 
+    // q30 replica with the centroid count DERIVED from the corpus size
+    // (ceil(n/25)), mirroring ivfTopKAuto's targetCellSize=25
+    "q34_ivf_auto" ->
+      """WITH v AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
+        |    CASE WHEN list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y) = 0 THEN 1.0
+        |         ELSE sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding],(x,y)->x+y)) END AS nrm
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT id AS cid, e AS ce, nrm AS cn FROM v
+        |  ORDER BY md5('ivf:42:' || id), id
+        |  LIMIT (SELECT CAST(CEIL(COUNT(*)/25.0) AS BIGINT) FROM v)
+        |), a AS (
+        |  SELECT id, cid FROM (
+        |    SELECT v.id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+        |        list_reduce([CAST(v.e[CAST(i AS INT)] AS DOUBLE)*CAST(c.ce[CAST(i AS INT)] AS DOUBLE) FOR i IN range(1,len(v.e)+1)],(p,q)->p+q)/(v.nrm*c.cn) DESC,
+        |        c.cid) AS rn
+        |    FROM v, c)
+        |  WHERE rn <= 2
+        |), cand AS (
+        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        |  FROM a l JOIN a r ON l.cid = r.cid AND l.id != r.id
+        |), scored AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    list_reduce([CAST(x.e[CAST(i AS INT)] AS DOUBLE)*CAST(y.e[CAST(i AS INT)] AS DOUBLE) FOR i IN range(1,len(x.e)+1)],(p,q)->p+q)/(x.nrm*y.nrm) AS cos
+        |  FROM cand JOIN v x ON cand.id_a = x.id JOIN v y ON cand.id_b = y.id)
+        |SELECT id_a, id_b, rank FROM (
+        |  SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
+
     // brute-force oracle over base + float-exact perturbed copies; at
     // near-identical cosines the 6-band LSH recall is 1, so the
     // emitted set equals the true set.
@@ -584,15 +647,26 @@ object SparkEntry {
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // prefix-index replica: same global (df, shingle-hex) order and
+    // |s| - ceil(t*|s|) + 1 prefix cut as Dedup.prefixPostings (the
+    // Spark side tie-breaks on the unsigned first-8-md5-bytes, which
+    // equals this hex-string order)
     "q28_jaccard_stats" ->
-      s"""$ShingleCte, inv AS (SELECT id, unnest(s) AS shingle FROM sh),
-         |dfc AS (SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle)
+      s"""$ShingleCte, inv AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         |dfc AS (SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle),
+         |pre AS (
+         |  SELECT id, shingle FROM (
+         |    SELECT i.id, i.shingle, i.n,
+         |      ROW_NUMBER() OVER (PARTITION BY i.id ORDER BY d.df, i.shingle) AS rn
+         |    FROM inv i JOIN dfc d USING (shingle))
+         |  WHERE rn <= n - CEIL(0.5 * n) + 1),
+         |pdfc AS (SELECT shingle, COUNT(*) AS pdf FROM pre GROUP BY shingle)
          |SELECT
-         |  (SELECT COUNT(*) FROM dfc) AS n_shingles,
-         |  (SELECT CAST(COALESCE(SUM(CASE WHEN df > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM dfc) AS n_overdf,
-         |  (SELECT CAST(COALESCE(SUM(CASE WHEN df > 100 THEN df ELSE 0 END), 0) AS BIGINT) FROM dfc) AS overdf_mass,
+         |  (SELECT COUNT(*) FROM pdfc) AS n_shingles,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN pdf > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM pdfc) AS n_overdf,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN pdf > 100 THEN pdf ELSE 0 END), 0) AS BIGINT) FROM pdfc) AS overdf_mass,
          |  (SELECT COUNT(*) FROM sh WHERE id NOT IN (
-         |     SELECT DISTINCT id FROM inv JOIN dfc USING (shingle)
-         |     WHERE df BETWEEN 2 AND 100)) AS n_docs_unindexed""".stripMargin
+         |     SELECT DISTINCT id FROM pre JOIN pdfc USING (shingle)
+         |     WHERE pdf BETWEEN 2 AND 100)) AS n_docs_unindexed""".stripMargin
   )
 }

@@ -92,27 +92,55 @@ object Dedup {
                           maxBucket: Int): DataFrame =
     LshUtil.bucketPairs(buckets, keys, maxBucket)
 
-  /** n-gram Jaccard near-dup via an inverted shingle index:
-    * candidates = pairs sharing a *discriminative* shingle (document
-    * frequency in [2, maxDf]; ultra-common shingles add O(df²)
-    * candidate pairs and ~no discrimination), verified with EXACT
-    * Jaccard over the full shingle sets. Shingles with df > maxDf no
-    * longer vanish silently (a duplicate cluster larger than maxDf
-    * shares ONLY over-df shingles): each over-df shingle contributes
-    * STAR candidates from its first maxDf ids to its min id — bounded
-    * recall recovery; the remaining bound is quantified by
-    * [[ngramShingleStats]]. Returns (id_a, id_b, jaccard), id_a < id_b. */
+  /** PREFIX postings (the exact prefix-filtering principle of
+    * All-Pairs / PPJoin / SSJoin): under a global shingle order —
+    * (document frequency asc, shingle asc), i.e. rarest first — any
+    * two sets with Jaccard >= t must share an element inside BOTH
+    * prefixes of length |s| - ceil(t*|s|) + 1. Indexing only prefixes
+    * is therefore LOSSLESS for the threshold join, and because the
+    * prefix keeps each doc's rarest shingles, hot shingles nearly
+    * vanish from the index: candidate work drops from
+    * sum(df^2 over all shingles) to sum(prefix-df^2) — the round-3
+    * sf1 bench measured the full-index variant going superlinear
+    * (88 s at 10x rows) exactly through that df shift. Two extra
+    * narrow shuffles (df join + per-doc rank, both spillable) buy a
+    * quadratically smaller pair stage. */
+  private def prefixPostings(sh: DataFrame, threshold: Double): DataFrame = {
+    val inverted = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // the df tie-break must be the UNSIGNED shingle order (= md5-hex
+    // string order, which the DuckDB oracle uses): flip the sign bit
+    val w = Window.partitionBy("id")
+      .orderBy(col("df"), col("shingle").bitwiseXOR(lit(Long.MinValue)))
+    inverted.join(dfc, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "shingle")
+  }
+
+  /** n-gram Jaccard near-dup via a PREFIX-FILTERED inverted shingle
+    * index: candidates = pairs sharing a prefix shingle whose prefix
+    * document frequency lies in [2, maxDf], verified with EXACT
+    * Jaccard over the full shingle sets. Prefix filtering is lossless
+    * (see [[prefixPostings]]); the only recall cut is the maxDf cap,
+    * and shingles past it no longer vanish silently (a duplicate
+    * cluster larger than maxDf shares ONLY over-df shingles): each
+    * over-df prefix shingle contributes STAR candidates from its
+    * first maxDf ids to its min id — bounded recall recovery; the
+    * remaining bound is quantified by [[ngramShingleStats]].
+    * Returns (id_a, id_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         idCol: String = "doc_id", textCol: String = "text",
                         k: Int = 5, maxDf: Int = 100): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, k)
-    val inverted = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val pre = prefixPostings(sh, threshold)
+    val pdfc = pre.groupBy("shingle").agg(count(lit(1)).as("pdf"))
     // rare path: join the (small) rare-key set back BEFORE collecting,
     // so no aggregation buffer ever exceeds maxDf ids
-    val rareKeys = dfc.where(col("df") <= maxDf && col("df") >= 2)
+    val rareKeys = pdfc.where(col("pdf") <= maxDf && col("pdf") >= 2)
       .select("shingle")
-    val rareLists = inverted.join(rareKeys, "shingle")
+    val rareLists = pre.join(rareKeys, "shingle")
       .groupBy("shingle").agg(collect_list("id").as("ids"))
     val cand = rareLists
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -121,9 +149,9 @@ object Dedup {
     // over-df recovery: star from the shingle's min id to its first
     // maxDf ids — windowed (sort-based, spillable), never a
     // collect_list of an unbounded posting list
-    val overKeys = dfc.where(col("df") > maxDf).select("shingle")
+    val overKeys = pdfc.where(col("pdf") > maxDf).select("shingle")
     val w = Window.partitionBy("shingle").orderBy("id")
-    val star = inverted.join(overKeys, "shingle")
+    val star = pre.join(overKeys, "shingle")
       .withColumn("rn", row_number().over(w))
       .withColumn("hub", min("id").over(w)) // prefix min on sorted ids = global min
       .where(col("rn") <= maxDf + 1 && col("id") =!= col("hub"))
@@ -134,23 +162,26 @@ object Dedup {
       sh, threshold)
   }
 
-  /** Recall instrumentation for [[ngramJaccardPairs]] (one row):
-    * total distinct shingles, shingles over the df cap (+ their total
-    * df mass = candidate entries not fully expanded), and documents
-    * with ZERO rare-shingle index entries (reachable only through the
-    * over-df star, i.e. the documented recall bound). */
-  def ngramShingleStats(docs: DataFrame, idCol: String = "doc_id",
+  /** Recall instrumentation for [[ngramJaccardPairs]] (one row), over
+    * the PREFIX index it actually builds: distinct prefix shingles,
+    * prefix shingles over the df cap (+ their total posting mass =
+    * candidate entries not fully expanded), and documents with ZERO
+    * in-range prefix postings (reachable only through the over-df
+    * star, i.e. the documented recall bound). `threshold` must match
+    * the pair join being instrumented. */
+  def ngramShingleStats(docs: DataFrame, threshold: Double = 0.8,
+                        idCol: String = "doc_id",
                         textCol: String = "text", k: Int = 5,
                         maxDf: Int = 100): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, k)
-    val inverted = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val shingleAgg = dfc.agg(
+    val pre = prefixPostings(sh, threshold)
+    val pdfc = pre.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+    val shingleAgg = pdfc.agg(
       count(lit(1)).as("n_shingles"),
-      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_overdf"),
-      sum(when(col("df") > maxDf, col("df")).otherwise(0L)).as("overdf_mass"))
-    val indexed = inverted.join(
-        dfc.where(col("df") <= maxDf && col("df") >= 2), "shingle")
+      sum(when(col("pdf") > maxDf, 1L).otherwise(0L)).as("n_overdf"),
+      sum(when(col("pdf") > maxDf, col("pdf")).otherwise(0L)).as("overdf_mass"))
+    val indexed = pre.join(
+        pdfc.where(col("pdf") <= maxDf && col("pdf") >= 2), "shingle")
       .select("id").distinct()
     val unindexed = sh.select("id").distinct()
       .join(indexed, Seq("id"), "left_anti")

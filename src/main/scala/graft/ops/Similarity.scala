@@ -228,6 +228,25 @@ object Similarity {
     rankTopK(withCos(directed, u), k)
   }
 
+  /** IVF ANN with the centroid count derived from a TARGET CELL SIZE
+    * instead of a fixed K: nCentroids = ceil(n / targetCellSize), so
+    * cells stay constant-sized as the corpus grows and candidate work
+    * stays LINEAR in n (a fixed K makes cells grow with n and the
+    * verify stage grow as n²/K — the sf1 bench measured exactly that
+    * regime on the fixed-K path). One count() job derives n; the
+    * centroid sample itself stays the bounded TakeOrderedAndProject
+    * of [[selectCentroids]]. */
+  def ivfTopKAuto(vecs: DataFrame, k: Int = 5, nprobe: Int = 2,
+                  targetCellSize: Int = 25, seed: Long = 42L,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  maxBucket: Int = 2000): DataFrame = {
+    require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    val n = vecs.count()
+    val nc = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)
+      .min(Int.MaxValue).toInt
+    ivfTopK(vecs, k, nprobe, nc, seed, idCol, vecCol, maxBucket)
+  }
+
   /** Embedding-cosine NEAR-DUP: all pairs with cosine >= threshold,
     * LSH-bucketed candidates (more bands than annTopK — near-dup
     * thresholds sit at tiny angles where per-band hit probability is

@@ -47,6 +47,41 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - expect) < 1e-9)
   }
 
+  test("PROPERTY: prefix-filtered jaccard join is lossless vs brute force") {
+    // the All-Pairs/PPJoin prefix principle: with no df cut, the
+    // prefix-indexed candidate set must contain EVERY pair at
+    // jaccard >= t, so (with the exact verify) the emitted set equals
+    // the brute-force join at every threshold. Small vocabulary ->
+    // heavy shingle sharing, stressing the prefix-length boundary.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.oneOf((1 to 12).map(i => s"word$i"))
+    val docGen = for {
+      n <- Gen.choose(3, 10); ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      n <- Gen.choose(5, 14); ds <- Gen.listOfN(n, docGen)
+    } yield ds
+    (0 until 4).foreach { i =>
+      val texts = corpusGen.pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val d = docs(texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }: _*)
+      val sets = texts.zipWithIndex.map { case (txt, j) =>
+        j.toLong -> Dedup.shingleHashes(txt, 5).toSet
+      }.toMap
+      Seq(0.4, 0.6, 0.8).foreach { t =>
+        val got = Dedup.ngramJaccardPairs(d, threshold = t, maxDf = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expect = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          inter = sets(a).intersect(sets(b)).size
+          j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+          if j >= t
+        } yield (a, b)).toSet
+        assert(got == expect, s"seed ${7000 + i} t=$t: got=$got expect=$expect")
+      }
+    }
+  }
+
   test("simhash: identical docs distance 0; near-identical collide") {
     val base = (1 to 64).map(i => s"tok$i").mkString(" ")
     val near = base + " extra" // 64 shared tokens + 1
