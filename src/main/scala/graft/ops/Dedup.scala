@@ -30,6 +30,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Dedup {
 
+  /** Operator-internal caching of diamond-consumed signature tables
+    * (see [[LshUtil.maybePersist]]); disable with
+    * `-Dgraft.ops.cache=false` for A/B measurement. */
+  private def maybePersist(df: DataFrame): DataFrame = LshUtil.maybePersist(df)
+
   /** Exact dedup: hash-groupBy on normalized content, keep the
     * smallest id as survivor. One shuffle on the content hash. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
@@ -64,7 +69,11 @@ object Dedup {
     out
   }
 
-  /** (id, shingles[]) — typed kernel, sorted distinct hashes. */
+  /** (id, shingles[]) — typed kernel, sorted distinct hashes.
+    * Diamond-consumed (df count, prefix window, candidate join, both
+    * verify sides) — recomputed per consumer by default, which the
+    * sf1 A/B measured as FASTER than caching (see
+    * [[LshUtil.maybePersist]] for the numbers and the opt-in). */
   private def withShingles(docs: DataFrame, idCol: String, textCol: String,
                            k: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -73,6 +82,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, shingleHashes(text, k)) })
       .toDF("id", "sh")
+      .transform(maybePersist)
   }
 
   /** Exact Jaccard on two sorted long arrays (merge intersect). */
@@ -113,10 +123,13 @@ object Dedup {
     // string order, which the DuckDB oracle uses): flip the sign bit
     val w = Window.partitionBy("id")
       .orderBy(col("df"), col("shingle").bitwiseXOR(lit(Long.MinValue)))
+    // consumed by the prefix-df count, the rare-list join and the
+    // over-df star (cache optional — see LshUtil.maybePersist)
     inverted.join(dfc, "shingle")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select("id", "shingle")
+      .transform(maybePersist)
   }
 
   /** n-gram Jaccard near-dup via a PREFIX-FILTERED inverted shingle
@@ -289,10 +302,13 @@ object Dedup {
     // first `rem` chunks are one bit wider; offsets cover all 64 bits
     val widths = (0 until nChunks).map(c => if (c < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
+    // feeds the chunk explode AND both verify sides (cache optional —
+    // see LshUtil.maybePersist)
     val withSim = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, simhash64(t)) })
       .toDF("id", "sim")
+      .transform(maybePersist)
     val chunked = withSim.select(col("id"),
       posexplode(array((0 until nChunks).map { c =>
         // width 64 (maxHamming = 0, one chunk): (1L << 64) is a mod-64

@@ -15,6 +15,21 @@ private[ops] object LshUtil {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** OPTIONAL persistence of diamond-consumed derived tables
+    * (signature/norm tables feed 3-6 downstream scans each).
+    * Default OFF — measured with `graft.tools.QueryBench` on the sf1
+    * corpus (interleaved A/B, same windows): caching made q34 8x
+    * SLOWER (180 s vs 22 s) and q21 ~1.4x slower — the per-row
+    * kernels are cheap enough that recomputation beats the
+    * columnar-cache round-trip plus the whole-stage-codegen and AQE
+    * boundaries an InMemoryRelation introduces. The hook stays for
+    * deployments where the upstream scan is genuinely expensive
+    * (remote storage, wide rows): `-Dgraft.ops.cache=true`. */
+  def maybePersist(df: DataFrame): DataFrame =
+    if (sys.props.getOrElse("graft.ops.cache", "false").toBoolean)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** First 8 bytes of MD5(s), big-endian — the same 64 bits DuckDB's
     * `substr(md5(s), 1, 16)` hex-encodes, so set cardinalities and
     * per-bit tests computed here are reproducible in plain SQL. */

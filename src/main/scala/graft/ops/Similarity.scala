@@ -56,12 +56,16 @@ object Similarity {
   private def withNorms(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // diamond-consumed (banding/centroid assignment + both cosine
+    // verify sides + the centroid sample); recomputation measured
+    // faster than caching — see LshUtil.maybePersist
     vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
         val n = math.sqrt(dotF(v, v))
         (id, v, if (n == 0.0) 1.0 else n)
       }).toDF("id", "v", "nrm")
+      .transform(LshUtil.maybePersist)
   }
 
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
