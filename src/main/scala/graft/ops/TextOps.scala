@@ -6,10 +6,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Text-analysis operators for training-data pipelines, over the
   * `documents(doc_id, text, lang, source, n_chars)` table.
   *
-  * Everything here is built from `org.apache.spark.sql.functions`
-  * (codegen'd, whole-stage) — no UDFs — except language-ID, which is
-  * genuinely control-flow heavy and runs as one `mapPartitions` pass
-  * with per-partition setup.
+  * Everything here — including the 20-language char-n-gram
+  * language-ID — is built from `org.apache.spark.sql.functions`
+  * (codegen'd, whole-stage): no UDFs, no mapPartitions, so every
+  * operator fuses into the surrounding projection and is replicated
+  * verbatim by the DuckDB oracles.
   */
 object TextOps {
 

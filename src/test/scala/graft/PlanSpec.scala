@@ -76,6 +76,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccard join never plans a cartesian product") {
+    // the candidate stage must stay bucket-local (shared prefix
+    // shingle) at every threshold — a regression to an all-pairs or
+    // broadcast-nested-loop shape would explode at scale
+    val df = graft.ops.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), threshold = 0.5)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("metadata-only multimodal projection does not read the payload column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
