@@ -120,6 +120,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(out.getLong(1) == quads.size)
   }
 
+  test("SQL aggregate buffer codec roundtrips (spill path) incl. supplementary chars") {
+    // serialize/deserialize is the shuffle/spill codec between partial
+    // and final aggregation — pin an explicit roundtrip including
+    // astral-plane literals (writeUTF uses modified-UTF8 surrogates)
+    val agg = Rdfc10CanonDataset((0 until 9).map(_ =>
+      org.apache.spark.sql.catalyst.expressions.Literal("x")))
+    val quads = graft.rdf.NQuadsParser.parseDocument(fixture("test060-in.nq"))
+    val buf = agg.createAggregationBuffer()
+    quads.foreach(buf += _)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.toVector == buf.toVector)
+  }
+
+  test("SQL aggregate is byte-exact on the escaping torture fixture (test060)") {
+    import spark.implicits._
+    // the UTF8String round-trip (Catalyst strings) must preserve every
+    // escape class: C0 controls, DEL, quotes, backslashes, U+1F303
+    val quads = graft.rdf.NQuadsParser.parseDocument(fixture("test060-in.nq"))
+    // spread across partitions so partial buffers merge via the codec
+    spark.createDataset(quads).repartition(4).toDF()
+      .createOrReplaceTempView("quads60")
+    val out = spark.sql(
+      """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM quads60""".stripMargin)
+      .selectExpr("r.canonicalNQuads").collect().head.getString(0)
+    assert(out == fixture("test060-rdfc10.nq"))
+  }
+
   test("extension class injects the same functions at session build") {
     // GraftExtensions delegates to GraftFunctions.functions — assert
     // the injection list covers all names (the shared-session tests
