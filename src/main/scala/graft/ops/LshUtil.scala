@@ -9,7 +9,13 @@ import org.apache.spark.sql.functions._
 /** Shared LSH plumbing for the dedup/similarity families (one
   * implementation of the hot-bucket guard — a fix here fixes every
   * bucketed operator). */
-private[ops] object LshUtil {
+object LshUtil {
+
+  /** The effective operator-cache flag — the ONE place the
+    * `graft.ops.cache` default lives, so A/B tooling (QueryBench)
+    * can never print a label that disagrees with the behavior. */
+  def cacheEnabled: Boolean =
+    sys.props.getOrElse("graft.ops.cache", "false").toBoolean
 
   val md5Local: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -26,7 +32,7 @@ private[ops] object LshUtil {
     * deployments where the upstream scan is genuinely expensive
     * (remote storage, wide rows): `-Dgraft.ops.cache=true`. */
   def maybePersist(df: DataFrame): DataFrame =
-    if (sys.props.getOrElse("graft.ops.cache", "false").toBoolean)
+    if (cacheEnabled)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
 

@@ -40,8 +40,9 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      // 8 per-asset features (decoded pixel/sample statistics for
-      // image/audio; deterministic stub values for video)
+      // 8 per-asset features — decoded pixel/sample statistics for
+      // all three kinds (PNG pixels, WAV PCM samples, GMJ1 video
+      // frames decoded from the sampled offsets only)
       features: Array[Float],
       // frame sampling: frame offsets actually selected
       sampled_frames: Array[Long]

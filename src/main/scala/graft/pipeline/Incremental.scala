@@ -67,9 +67,27 @@ object Incremental {
   }
 
   /** Content-addressed append: only shas the store has not seen are
-    * written (idempotent under replay). */
-  def appendDocs(store: DataFrame, newDocs: DataFrame): DataFrame =
-    store.unionByName(newDocs).dropDuplicates("outputSha256")
+    * written (idempotent under replay). The delta is anti-joined
+    * against the store's sha COLUMN — the store's document bodies are
+    * never shuffled or rewritten, so an increment's append cost is
+    * O(delta bodies + store keys), not O(store) (the previous
+    * union+dropDuplicates re-deduped the whole store, bodies and all,
+    * on every increment). */
+  def appendDocs(store: DataFrame, newDocs: DataFrame): DataFrame = {
+    val unseen = newDocs.dropDuplicates("outputSha256")
+      .join(store.select("outputSha256"), Seq("outputSha256"), "left_anti")
+    store.unionByName(unseen)
+  }
+
+  /** Orphan GC for the append-only doc store: keep exactly the
+    * documents some live state row still references (left-semi on the
+    * sha — one key-only shuffle, bodies move only into the surviving
+    * output). Runs OFF the increment's critical path, occasionally —
+    * orphans are only ever garbage, never a correctness issue, because
+    * [[resolve]] joins BY sha and unreferenced shas can't be joined. */
+  def vacuum(store: DataFrame, state: DataFrame): DataFrame =
+    store.join(state.select("outputSha256").distinct(),
+      Seq("outputSha256"), "left_semi")
 
   /** Join document bodies back onto state rows (broadcast-free: both
     * sides shuffle on the sha — at scale the doc store is as large as

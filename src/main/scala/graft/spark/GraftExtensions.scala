@@ -141,14 +141,21 @@ case class Rdfc10CanonDataset(
     val v = e.eval(row)
     if (v == null) "" else v.asInstanceOf[UTF8String].toString
   }
-  private def kind(e: Expression, row: InternalRow): Byte =
-    e.eval(row).asInstanceOf[Number].byteValue()
 
+  /** Standard aggregate null semantics for the kind columns: a row
+    * with ANY null kind is skipped (like `sum` skips null inputs) —
+    * the string columns null-coalesce to "", but a kind byte has no
+    * usable default (0 = IRI would silently reinterpret the term). */
   override def update(buf: mutable.LinkedHashSet[Quad],
                       row: InternalRow): mutable.LinkedHashSet[Quad] = {
-    buf += Quad(kind(children(0), row), str(children(1), row), str(children(2), row),
-      kind(children(3), row), str(children(4), row), str(children(5), row),
-      str(children(6), row), kind(children(7), row), str(children(8), row))
+    val sk = children(0).eval(row)
+    val ok = children(3).eval(row)
+    val gk = children(7).eval(row)
+    if (sk != null && ok != null && gk != null)
+      buf += Quad(sk.asInstanceOf[Number].byteValue(), str(children(1), row),
+        str(children(2), row), ok.asInstanceOf[Number].byteValue(),
+        str(children(4), row), str(children(5), row), str(children(6), row),
+        gk.asInstanceOf[Number].byteValue(), str(children(8), row))
     buf
   }
 
@@ -167,14 +174,29 @@ case class Rdfc10CanonDataset(
       r.quadCount, r.bnodeCount, r.hndqCalls))
   }
 
+  // Spill codec: int-length-prefixed raw UTF-8, NOT writeUTF —
+  // writeUTF throws UTFDataFormatException past 65535 encoded bytes,
+  // and document-body literals routinely exceed 64 KB at the scale
+  // this aggregate targets; a codec exception would fail the whole
+  // query, contradicting the "poison yields an error STATUS" contract.
+  private def writeStr(out: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length); out.write(b)
+  }
+  private def readStr(in: java.io.DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   override def serialize(buf: mutable.LinkedHashSet[Quad]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { q =>
-      out.writeByte(q.sKind); out.writeUTF(q.s); out.writeUTF(q.p)
-      out.writeByte(q.oKind); out.writeUTF(q.o); out.writeUTF(q.oDt)
-      out.writeUTF(q.oLang); out.writeByte(q.gKind); out.writeUTF(q.g)
+      out.writeByte(q.sKind); writeStr(out, q.s); writeStr(out, q.p)
+      out.writeByte(q.oKind); writeStr(out, q.o); writeStr(out, q.oDt)
+      writeStr(out, q.oLang); out.writeByte(q.gKind); writeStr(out, q.g)
     }
     out.flush(); bos.toByteArray
   }
@@ -185,8 +207,8 @@ case class Rdfc10CanonDataset(
     val buf = mutable.LinkedHashSet.empty[Quad]
     var i = 0
     while (i < n) {
-      buf += Quad(in.readByte(), in.readUTF(), in.readUTF(), in.readByte(),
-        in.readUTF(), in.readUTF(), in.readUTF(), in.readByte(), in.readUTF())
+      buf += Quad(in.readByte(), readStr(in), readStr(in), in.readByte(),
+        readStr(in), readStr(in), readStr(in), in.readByte(), readStr(in))
       i += 1
     }
     buf

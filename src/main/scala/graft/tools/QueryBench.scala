@@ -32,7 +32,9 @@ object QueryBench {
         val t0 = System.nanoTime()
         val rows = fn(spark, sfDir).count()
         val secs = (System.nanoTime() - t0) / 1e9
-        println(f"QB $n trial=$t $secs%.3f s rows=$rows cache=${sys.props.getOrElse("graft.ops.cache", "true")}")
+        // label reads the EFFECTIVE flag through the one shared
+        // helper, so it cannot drift from LshUtil.maybePersist again
+        println(f"QB $n trial=$t $secs%.3f s rows=$rows cache=${graft.ops.LshUtil.cacheEnabled}")
       }
     }
     spark.stop()

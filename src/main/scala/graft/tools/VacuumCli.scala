@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.pipeline.Incremental
+import graft.spark.CanonEngine
+
+/** Doc-store orphan GC ([[Incremental.vacuum]]) as an operational
+  * tool: read the content-addressed doc store and the current state
+  * snapshot (parquet), keep only documents a live state row still
+  * references, write the compacted store.
+  *
+  * Runs OFF the increment's critical path — orphans are never a
+  * correctness problem (resolve joins by sha), only dead bytes, so
+  * this is an occasional maintenance job like any table compaction.
+  *
+  * Usage: VacuumCli <storeDir> <stateDir> <outDir> [--cores N]
+  */
+object VacuumCli {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: VacuumCli <storeDir> <stateDir> <outDir> [--cores N]")
+      sys.exit(2)
+    }
+    val Array(storeDir, stateDir, outDir) = args.take(3)
+    val cores = args.sliding(2)
+      .collectFirst { case Array("--cores", v) => v.toInt }.getOrElse(8)
+    val spark = CanonEngine.session(s"local[$cores]", shufflePartitions = cores)
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val store = spark.read.parquet(storeDir)
+      val state = spark.read.parquet(stateDir)
+      val before = store.count()
+      val kept = Incremental.vacuum(store, state)
+      kept.write.mode("overwrite").parquet(outDir)
+      val after = spark.read.parquet(outDir).count()
+      println(s"VACUUM kept=$after dropped=${before - after} of=$before -> $outDir")
+    } finally spark.stop()
+  }
+}

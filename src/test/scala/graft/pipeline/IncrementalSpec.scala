@@ -114,4 +114,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(inc1.reused.count() == inc0.state.count())
     docs0.unpersist()
   }
+
+  test("vacuum drops orphaned documents and keeps live ones byte-identical") {
+    import spark.implicits._
+    val filesA = Corpus.generate(spark, cfg)
+    val inc0 = Incremental.run(filesA, dictNames, None)
+    val state0 = inc0.state.cache()
+    val docs0 = inc0.newDocs.cache()
+
+    // a mutation replaces two repos' outputs: their OLD documents
+    // become orphans in the append-only store
+    val changed = state0.select("repo").collect().map(_.getString(0))
+      .toSeq.sorted.take(2).toSet
+    val inc1 = Incremental.run(mutate(filesA, changed), dictNames,
+      Some((inc0.ccFingerprint, state0)))
+    val store = Incremental.appendDocs(docs0, inc1.newDocs).cache()
+    val live = inc1.state.select("outputSha256").collect().map(_.getString(0)).toSet
+    val all = store.select("outputSha256").collect().map(_.getString(0)).toSet
+    assert((all -- live).nonEmpty, "mutation should have orphaned old docs")
+
+    val vacuumed = Incremental.vacuum(store, inc1.state).cache()
+    // orphans gone, exactly the live shas remain
+    assert(vacuumed.select("outputSha256").collect().map(_.getString(0)).toSet
+      == live)
+    // live documents survive byte-identical
+    def bodies(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val origBodies = bodies(store.select("outputSha256", "canonicalNQuads"))
+    bodies(vacuumed.select("outputSha256", "canonicalNQuads")).foreach {
+      case (sha, body) => assert(origBodies(sha) == body)
+    }
+    // resolve over the vacuumed store still yields every state row a body
+    val resolved = Incremental.resolve(inc1.state, vacuumed)
+    assert(resolved.where(col("canonicalNQuads").isNull).count() == 0)
+    state0.unpersist(); docs0.unpersist(); store.unpersist(); vacuumed.unpersist()
+  }
 }

@@ -148,6 +148,57 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(out == fixture("test060-rdfc10.nq"))
   }
 
+  test("SQL aggregate survives literals past 64 KB through the spill codec") {
+    import spark.implicits._
+    // writeUTF dies at 65535 modified-UTF-8 bytes; document-body
+    // literals routinely exceed that, and the codec runs on every
+    // partial->final shuffle — the length-prefixed raw-UTF-8 codec
+    // must carry a multi-hundred-KB multibyte literal byte-exactly
+    val big = "é🌃x" * 40000 // ~280 KB UTF-8, incl. astral pairs
+    val quads = Vector(
+      graft.rdf.Quad(graft.rdf.TermKind.Iri, "http://e/s", "http://e/p",
+        graft.rdf.TermKind.Literal, big, "", "",
+        graft.rdf.TermKind.DefaultGraph, ""),
+      graft.rdf.Quad(graft.rdf.TermKind.BNode, "b0", "http://e/p",
+        graft.rdf.TermKind.Literal, big, "", "",
+        graft.rdf.TermKind.DefaultGraph, ""))
+    // direct codec roundtrip
+    val agg = Rdfc10CanonDataset((0 until 9).map(_ =>
+      org.apache.spark.sql.catalyst.expressions.Literal("x")))
+    val buf = agg.createAggregationBuffer()
+    quads.foreach(buf += _)
+    assert(agg.deserialize(agg.serialize(buf)).toVector == quads)
+    // end-to-end SQL path with forced partial merges
+    spark.createDataset(quads).repartition(2).toDF()
+      .createOrReplaceTempView("bigquads")
+    val out = spark.sql(
+      """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM bigquads""".stripMargin)
+      .selectExpr("r.status", "r.canonicalNQuads").collect().head
+    assert(out.getString(0) == "ok")
+    assert(out.getString(1) ==
+      graft.canon.Rdfc10.canonicalize(quads, graft.canon.CanonOptions.default))
+  }
+
+  test("SQL aggregate skips rows with NULL kind columns (aggregate null semantics)") {
+    import spark.implicits._
+    val quads = graft.rdf.NQuadsParser.parseDocument(fixture("test020-in.nq"))
+    quads.toDF().createOrReplaceTempView("q20clean")
+    // a NULL oKind row (e.g. from an outer join) must be skipped, not
+    // NPE the task — the clean fixture's output must be unchanged
+    val out = spark.sql(
+      """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM (SELECT * FROM q20clean
+        |      UNION ALL
+        |      SELECT CAST(0 AS TINYINT), 'http://x/s', 'http://x/p',
+        |             CAST(NULL AS TINYINT), 'dangling', '', '',
+        |             CAST(3 AS TINYINT), '')""".stripMargin)
+      .selectExpr("r.status", "r.canonicalNQuads", "r.quadCount").collect().head
+    assert(out.getString(0) == "ok")
+    assert(out.getString(1) == fixture("test020-rdfc10.nq"))
+    assert(out.getLong(2) == quads.size)
+  }
+
   test("extension class injects the same functions at session build") {
     // GraftExtensions delegates to GraftFunctions.functions — assert
     // the injection list covers all names (the shared-session tests
