@@ -212,12 +212,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
 
-    // --- IVF ANN, auto-K: centroid count tracks n / targetCellSize so
-    // cell size (and per-vector candidate work) stays CONSTANT as the
-    // corpus grows — the 100 TB configuration of q30 ---------------------
+    // --- IVF ANN, auto-K: K = ceil(sqrt(n*25)) capped at 100k — the
+    // sublinear law that keeps centroid collect/broadcast AND total
+    // work bounded as the corpus grows (Similarity.autoCentroidCount);
+    // the 100 TB configuration of q30 -----------------------------------
     "q34_ivf_auto" -> ((s, d) =>
       Similarity.ivfTopKAuto(t(s, d, "embeddings"), k = 5, nprobe = 2,
           targetCellSize = 25)
+        .select(col("id_a"), col("id_b"), col("rank"))
+        .orderBy("id_a", "rank")),
+
+    // --- IVF ANN with k-means-refined centroids: 2 deterministic Lloyd
+    // iterations over a bounded driver-side sample move centroids from
+    // arbitrary members to cluster means (recall win pinned in OpsSpec);
+    // golden-oracled — replicating the float mean arithmetic in SQL
+    // is possible but its bit-exactness is not worth the risk ------------
+    "q35_ivf_refined" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), k = 5, nprobe = 2,
+          nCentroids = 100, refineIters = 2)
         .select(col("id_a"), col("id_b"), col("rank"))
         .orderBy("id_a", "rank")),
 
@@ -236,7 +248,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // --- multimodal: real PNG/WAV decode (video stubbed) -----------------------------
+    // --- multimodal: real PNG/WAV/GMJ1-video decode (sampled frames only) ------------
     "q24_multimodal" -> ((s, d) => {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 2000))
@@ -339,7 +351,7 @@ object SparkEntry {
     * the operators change. */
   val GoldenOracleNames: Seq[String] =
     Seq("q24_multimodal", "q25_dockg_canon", "q26_kg_mentions", "q27_kg_canon",
-      "q33_sql_canon")
+      "q33_sql_canon", "q35_ivf_refined")
 
   /** DuckDB oracles. Omitted keys → driver does a rows-only check. */
   def oracleSql: Map[String, String] = baseOracleSql ++ GoldenOracles.sql
@@ -593,7 +605,8 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
 
     // q30 replica with the centroid count DERIVED from the corpus size
-    // (ceil(n/25)), mirroring ivfTopKAuto's targetCellSize=25
+    // by the sublinear law ceil(sqrt(n*25)) capped at 100000, mirroring
+    // Similarity.autoCentroidCount at targetCellSize=25
     "q34_ivf_auto" ->
       """WITH v AS (
         |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
@@ -603,7 +616,7 @@ object SparkEntry {
         |), c AS (
         |  SELECT id AS cid, e AS ce, nrm AS cn FROM v
         |  ORDER BY md5('ivf:42:' || id), id
-        |  LIMIT (SELECT CAST(CEIL(COUNT(*)/25.0) AS BIGINT) FROM v)
+        |  LIMIT (SELECT LEAST(100000, GREATEST(1, CAST(CEIL(SQRT(COUNT(*)*25.0)) AS BIGINT))) FROM v)
         |), a AS (
         |  SELECT id, cid FROM (
         |    SELECT v.id, c.cid,

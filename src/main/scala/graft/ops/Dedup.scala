@@ -142,12 +142,28 @@ object Dedup {
     * over-df prefix shingle contributes STAR candidates from its
     * first maxDf ids to its min id — bounded recall recovery; the
     * remaining bound is quantified by [[ngramShingleStats]].
+    *
+    * ADAPTIVE plan choice: the prefix filter's two extra narrow
+    * shuffles (df join + per-doc rank) cost a ~1.5 s constant that
+    * only pays off once the pair stage would otherwise dominate — the
+    * sf1 bench measured full-index 88 s vs prefix 16 s at 50k docs,
+    * while at 5k docs prefix is pure overhead. Below `prefixMinDocs`
+    * (one cheap count() to decide) the FULL inverted index is used
+    * instead; because the prefix cut is lossless and the exact verify
+    * defines the output, the EMITTED SET is identical on either
+    * plan (pinned by the OpsSpec equivalence property) — only the
+    * physical plan changes. `prefixMinDocs = 0` forces the prefix
+    * plan without counting; `Int.MaxValue` forces the full index.
     * Returns (id_a, id_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         idCol: String = "doc_id", textCol: String = "text",
-                        k: Int = 5, maxDf: Int = 100): DataFrame = {
+                        k: Int = 5, maxDf: Int = 100,
+                        prefixMinDocs: Int = 20000): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, k)
-    val pre = prefixPostings(sh, threshold)
+    val usePrefix = prefixMinDocs == 0 || docs.count() >= prefixMinDocs
+    val pre =
+      if (usePrefix) prefixPostings(sh, threshold)
+      else sh.select(col("id"), explode(col("sh")).as("shingle"))
     val pdfc = pre.groupBy("shingle").agg(count(lit(1)).as("pdf"))
     // rare path: join the (small) rare-key set back BEFORE collecting,
     // so no aggregation buffer ever exceeds maxDf ids

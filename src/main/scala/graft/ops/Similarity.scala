@@ -180,9 +180,9 @@ object Similarity {
     * top-K, driver merges K rows), so driver memory is O(nCentroids)
     * REGARDLESS of input row count — unlike the previous stride
     * quantizer, whose centroid set grew as n/stride (an O(n) driver
-    * collect at 100 TB). Swap in k-means-refined centroids at
-    * deployment without touching the plan. Exposed for the
-    * boundedness test in SimilaritySpec. */
+    * collect at 100 TB). [[refineCentroids]] layers k-means on top of
+    * this sample without touching the plan. Exposed for the
+    * boundedness test in OpsSpec. */
   private[ops] def selectCentroids(u: DataFrame, nCentroids: Int,
                                    seed: Long): Array[(Long, Array[Float], Double)] = {
     val spark = u.sparkSession
@@ -195,9 +195,66 @@ object Similarity {
       .collect().sortBy(_._1)
   }
 
+  /** Lloyd-refined IVF centroids: start from the md5-ordered member
+    * sample of [[selectCentroids]] and run `iters` k-means iterations
+    * over a BOUNDED deterministic sample (the first
+    * `nCentroids * sampleFactor` vectors in the SAME md5 order, capped
+    * at `maxSample`) entirely on the driver. The sample arrives via
+    * the same TakeOrderedAndProject plan, so driver memory stays
+    * O(nCentroids · sampleFactor · dim) regardless of corpus size,
+    * and everything is bit-deterministic: fixed iteration count,
+    * id-ascending sequential summation, argmax-cosine assignment with
+    * the lowest-index tie-break (the same (cos desc, cid asc) rule the
+    * cell-assignment kernel uses). An empty cell keeps its seed
+    * vector. Mean centroids track cluster centers instead of arbitrary
+    * members, which measurably improves recall at equal K/nprobe on
+    * clustered data (pinned in SimilaritySpec). */
+  private[ops] def refineCentroids(u: DataFrame, nCentroids: Int, seed: Long,
+                                   iters: Int, sampleFactor: Int = 50,
+                                   maxSample: Int = 1 << 20): Array[(Long, Array[Float], Double)] = {
+    val init = selectCentroids(u, nCentroids, seed)
+    if (iters <= 0 || init.isEmpty) return init
+    val sampleN = math.min(nCentroids.toLong * sampleFactor, maxSample.toLong).toInt
+    val sample = selectCentroids(u, sampleN, seed) // same order => superset of init
+    val kk = init.length
+    val dims = init.head._2.length
+    var cents: Array[Array[Float]] = init.map(_._2)
+    var it = 0
+    while (it < iters) {
+      val cnorms = cents.map { c =>
+        val n = math.sqrt(dotF(c, c)); if (n == 0.0) 1.0 else n
+      }
+      val sums = Array.ofDim[Double](kk, dims)
+      val counts = new Array[Long](kk)
+      sample.foreach { case (_, v, nrm) =>
+        var bestI = 0
+        var bestCos = Double.NegativeInfinity
+        var i = 0
+        while (i < kk) {
+          val c = dotF(v, cents(i)) / (nrm * cnorms(i))
+          if (c > bestCos) { bestCos = c; bestI = i }
+          i += 1
+        }
+        counts(bestI) += 1
+        var d = 0
+        while (d < dims) { sums(bestI)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(kk) { i =>
+        if (counts(i) == 0) cents(i)
+        else Array.tabulate(dims)(d => (sums(i)(d) / counts(i)).toFloat)
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(dotF(c, c))
+      (i.toLong, c, if (n == 0.0) 1.0 else n)
+    }
+  }
+
   /** IVF ANN top-k — the second scale path next to [[annTopK]]'s LSH:
     * a small deterministic centroid set of AT MOST `nCentroids`
-    * vectors (md5-ordered sample — see [[selectCentroids]]) is
+    * vectors (md5-ordered sample — see [[selectCentroids]]; k-means-
+    * refined when `refineIters` > 0 — see [[refineCentroids]]) is
     * broadcast, each vector joins its `nprobe` nearest cells,
     * candidates share a cell. Cells bound candidate work to
     * ~(n/#cells)·nprobe² per vector instead of n, the assignment
@@ -206,12 +263,15 @@ object Similarity {
     * pairs past `maxBucket`. */
   def ivfTopK(vecs: DataFrame, k: Int = 5, nprobe: Int = 2,
               nCentroids: Int = 100, seed: Long = 42L, idCol: String = "vec_id",
-              vecCol: String = "embedding", maxBucket: Int = 2000): DataFrame = {
+              vecCol: String = "embedding", maxBucket: Int = 2000,
+              refineIters: Int = 0): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     require(nCentroids >= 1, "nCentroids must be >= 1")
     val u = withNorms(vecs, idCol, vecCol)
-    val cents = selectCentroids(u, nCentroids, seed)
+    val cents =
+      if (refineIters > 0) refineCentroids(u, nCentroids, seed, refineIters)
+      else selectCentroids(u, nCentroids, seed)
     require(cents.nonEmpty, "no centroids (empty input)")
     val bc = spark.sparkContext.broadcast(cents)
     val assigned = u.as[(Long, Array[Float], Double)]
@@ -232,23 +292,44 @@ object Similarity {
     rankTopK(withCos(directed, u), k)
   }
 
-  /** IVF ANN with the centroid count derived from a TARGET CELL SIZE
-    * instead of a fixed K: nCentroids = ceil(n / targetCellSize), so
-    * cells stay constant-sized as the corpus grows and candidate work
-    * stays LINEAR in n (a fixed K makes cells grow with n and the
-    * verify stage grow as n²/K — the sf1 bench measured exactly that
-    * regime on the fixed-K path). One count() job derives n; the
-    * centroid sample itself stays the bounded TakeOrderedAndProject
-    * of [[selectCentroids]]. */
+  /** SUBLINEAR centroid law for [[ivfTopKAuto]]:
+    * K = ceil(sqrt(n · cellFactor)), capped at `maxCentroids`.
+    *
+    * Why sqrt and not n/cellFactor: IVF pays two costs — the
+    * assignment pass is O(n·K) dot products against the broadcast
+    * centroids, and the per-cell verify is O(n · cellSize · nprobe²)
+    * with cellSize = n/K. A LINEAR K (the round-3 law, K = n/25) keeps
+    * cells constant but makes the centroid set itself O(n): an O(n)
+    * driver collect, an O(n)-byte broadcast to every executor, and an
+    * O(n²/25) assignment pass — the same failure mode as the round-2
+    * stride quantizer, one level up. K = sqrt(n·cellFactor) balances
+    * the two costs at ~n^1.5 each, and the cap bounds the driver/
+    * broadcast footprint absolutely (at the cap the law degrades
+    * gracefully to fixed-K with growing cells, never to a growing
+    * driver). Exposed for the sublinearity test in OpsSpec. */
+  private[ops] def autoCentroidCount(n: Long, cellFactor: Int,
+                                     maxCentroids: Int): Int = {
+    val k = math.ceil(math.sqrt(n.toDouble * cellFactor)).toLong
+    math.max(1L, math.min(k, maxCentroids.toLong)).toInt
+  }
+
+  /** IVF ANN with the centroid count derived from the corpus size by
+    * the sublinear law of [[autoCentroidCount]] — the 100 TB
+    * configuration of [[ivfTopK]]: one count() job derives n, the
+    * centroid sample stays the bounded TakeOrderedAndProject of
+    * [[selectCentroids]], and BOTH the centroid footprint (driver +
+    * broadcast, O(min(sqrt(n·f), maxCentroids))) and the per-vector
+    * work scale sublinearly in n. */
   def ivfTopKAuto(vecs: DataFrame, k: Int = 5, nprobe: Int = 2,
                   targetCellSize: Int = 25, seed: Long = 42L,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  maxBucket: Int = 2000): DataFrame = {
+                  maxBucket: Int = 2000, maxCentroids: Int = 100000,
+                  refineIters: Int = 0): DataFrame = {
     require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    require(maxCentroids >= 1, "maxCentroids must be >= 1")
     val n = vecs.count()
-    val nc = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)
-      .min(Int.MaxValue).toInt
-    ivfTopK(vecs, k, nprobe, nc, seed, idCol, vecCol, maxBucket)
+    val nc = autoCentroidCount(n, targetCellSize, maxCentroids)
+    ivfTopK(vecs, k, nprobe, nc, seed, idCol, vecCol, maxBucket, refineIters)
   }
 
   /** Embedding-cosine NEAR-DUP: all pairs with cosine >= threshold,

@@ -79,12 +79,17 @@ class PlanSpec extends AnyFunSuite {
   test("prefix-filtered jaccard join never plans a cartesian product") {
     // the candidate stage must stay bucket-local (shared prefix
     // shingle) at every threshold — a regression to an all-pairs or
-    // broadcast-nested-loop shape would explode at scale
-    val df = graft.ops.Dedup.ngramJaccardPairs(
-      spark.read.parquet(s"$sf/documents.parquet"), threshold = 0.5)
-    val p = planOf(df)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // broadcast-nested-loop shape would explode at scale. Checked on
+    // BOTH plans of the adaptive switch (prefix forced with 0, full
+    // index forced with MaxValue).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(0, Int.MaxValue).foreach { minDocs =>
+      val df = graft.ops.Dedup.ngramJaccardPairs(
+        docs, threshold = 0.5, prefixMinDocs = minDocs)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"minDocs=$minDocs: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"minDocs=$minDocs: $p")
+    }
   }
 
   test("metadata-only multimodal projection does not read the payload column") {
