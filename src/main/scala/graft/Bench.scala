@@ -60,11 +60,20 @@ object Bench {
     /** Calibration-gated timing for the long canon headlines: this
       * host shows steal-time waves that inflated the driver-visible
       * canon numbers 20x in rounds 1-2 (r2: 99.3 s recorded vs 3.7 s
-      * judge-calibrated). Same gate as ScalingBench: a trial counts
-      * only if a raw-CPU probe before AND after it stays within 12%
-      * of the best probe seen — i.e., the whole trial ran in a calm
-      * window; min of accepted, else min of all flagged
-      * "UncalibratedWindow" (surfaces as a partial error). */
+      * judge-calibrated). Same probe gate as ScalingBench: a trial
+      * counts only if a raw-CPU probe before AND after it stays
+      * within 12% of the best probe seen.
+      *
+      * SPREAD check (closes the r3 blind spot): the probes bracket a
+      * trial, but a steal wave can land entirely INSIDE a long trial
+      * with calm endpoints — the r3 driver accepted a 17.8 s staged
+      * trial the judge measured at 4.0 s. The record therefore needs
+      * TWO probe-accepted trials that CONFIRM each other (second-
+      * smallest within 1.3x of the smallest); a lone accepted outlier
+      * keeps attempting. An inflated-only record (no confirmed pair
+      * after the attempt budget) is flagged UncalibratedWindow rather
+      * than silently reported. A too-FAST outlier cannot exist — host
+      * noise only ever adds time — so the confirmed minimum is safe. */
     def calibratedBest(f: => Unit): Trials = {
       val cores = cpus.toInt
       var bestCal = 0.0
@@ -77,7 +86,11 @@ object Bench {
       var all = List.empty[Double]
       var fails = List.empty[String]
       var attempt = 0
-      while (attempt < 6 && accepted.size < 2 && fails.isEmpty) {
+      def confirmedMin: Option[Double] = accepted.sorted match {
+        case a :: b :: _ if b <= a * 1.3 => Some(a)
+        case _ => None
+      }
+      while (attempt < 8 && confirmedMin.isEmpty && fails.isEmpty) {
         attempt += 1
         val calmBefore = calm()
         try {
@@ -90,8 +103,12 @@ object Bench {
           case scala.util.control.NonFatal(e) => fails ::= e.getClass.getSimpleName
         }
       }
-      if (accepted.nonEmpty) Trials(Some(accepted.min), fails.reverse)
-      else Trials(all.minOption, ("UncalibratedWindow" :: fails).reverse)
+      confirmedMin match {
+        case Some(t) => Trials(Some(t), fails.reverse)
+        case None =>
+          Trials((accepted ++ all).minOption,
+            ("UncalibratedWindow" :: fails).reverse)
+      }
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Trials]
