@@ -69,7 +69,9 @@ object Bench {
       * with calm endpoints — the r3 driver accepted a 17.8 s staged
       * trial the judge measured at 4.0 s. The record therefore needs
       * TWO probe-accepted trials that CONFIRM each other (second-
-      * smallest within 1.3x of the smallest); a lone accepted outlier
+      * smallest within 1.5x of the smallest — wide enough for the
+      * staged path's legitimate inter-trial variance, far below the
+      * 4.4x blind-spot case); a lone accepted outlier
       * keeps attempting. An inflated-only record (no confirmed pair
       * after the attempt budget) is flagged UncalibratedWindow rather
       * than silently reported. A too-FAST outlier cannot exist — host
@@ -87,7 +89,7 @@ object Bench {
       var fails = List.empty[String]
       var attempt = 0
       def confirmedMin: Option[Double] = accepted.sorted match {
-        case a :: b :: _ if b <= a * 1.3 => Some(a)
+        case a :: b :: _ if b <= a * 1.5 => Some(a)
         case _ => None
       }
       while (attempt < 8 && confirmedMin.isEmpty && fails.isEmpty) {
