@@ -191,7 +191,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5)
         .orderBy("id_a", "id_b")),
     "q28_jaccard_stats" -> ((s, d) =>
-      // threshold matches the q21 pair join this index serves
+      // threshold matches the q21 pair join this index serves; the
+      // stats always describe the PREFIX index (the at-scale plan) —
+      // q21's small-corpus full-index fast path emits the identical
+      // pair set, so the recall bound quantified here applies to both
       Dedup.ngramShingleStats(t(s, d, "documents"), threshold = 0.5)),
 
     // --- similarity search ----------------------------------------------------------

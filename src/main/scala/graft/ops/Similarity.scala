@@ -199,9 +199,11 @@ object Similarity {
     * sample of [[selectCentroids]] and run `iters` k-means iterations
     * over a BOUNDED deterministic sample (the first
     * `nCentroids * sampleFactor` vectors in the SAME md5 order, capped
-    * at `maxSample`) entirely on the driver. The sample arrives via
-    * the same TakeOrderedAndProject plan, so driver memory stays
-    * O(nCentroids · sampleFactor · dim) regardless of corpus size,
+    * at `maxSample` = 262k rows ≈ 70-150 MB at dims 64-128 — the hard
+    * driver budget even at maxCentroids) entirely on the driver. The
+    * sample arrives via the same TakeOrderedAndProject plan, so driver
+    * memory stays O(min(nCentroids · sampleFactor, maxSample) · dim)
+    * regardless of corpus size,
     * and everything is bit-deterministic: fixed iteration count,
     * id-ascending sequential summation, argmax-cosine assignment with
     * the lowest-index tie-break (the same (cos desc, cid asc) rule the
@@ -211,7 +213,7 @@ object Similarity {
     * clustered data (pinned in SimilaritySpec). */
   private[ops] def refineCentroids(u: DataFrame, nCentroids: Int, seed: Long,
                                    iters: Int, sampleFactor: Int = 50,
-                                   maxSample: Int = 1 << 20): Array[(Long, Array[Float], Double)] = {
+                                   maxSample: Int = 1 << 18): Array[(Long, Array[Float], Double)] = {
     val init = selectCentroids(u, nCentroids, seed)
     if (iters <= 0 || init.isEmpty) return init
     val sampleN = math.min(nCentroids.toLong * sampleFactor, maxSample.toLong).toInt
