@@ -124,6 +124,22 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // --- quantiles: exact discrete percentiles (SQL-standard
+    // percentile_disc = smallest value with cume_dist >= p; Spark's
+    // sort-based exact aggregate, NOT approx_percentile — the integer
+    // cent reduction keeps the values engine-portable) ------------------
+    "q36_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+        .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY qty_c) AS BIGINT)").as("p50_qty_c"),
+          expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY qty_c) AS BIGINT)").as("p95_qty_c"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY price_c) AS BIGINT)").as("p50_price_c"),
+          expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY price_c) AS BIGINT)").as("p95_price_c"))
+        .orderBy("l_returnflag")),
+
     // --- exact dedup ----------------------------------------------------------
     "q11_exact_dedup" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"))
@@ -428,6 +444,15 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // quantile_disc == SQL-standard percentile_disc (verified against
+    // an explicit cume_dist replication on this data)
+    "q36_percentiles" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_disc(CAST(ROUND(l_quantity*100) AS BIGINT), 0.5) AS BIGINT) AS p50_qty_c,
+        |  CAST(quantile_disc(CAST(ROUND(l_quantity*100) AS BIGINT), 0.95) AS BIGINT) AS p95_qty_c,
+        |  CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5) AS BIGINT) AS p50_price_c,
+        |  CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.95) AS BIGINT) AS p95_price_c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q11_exact_dedup" ->
       """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_key,
         |  MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count

@@ -18,6 +18,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     s
   }
 
+  import SqlSurfaceSpec.StreamQuad // streaming-test row shape (encoder-friendly)
+
   private def fixture(name: String): String =
     new String(Files.readAllBytes(
       Paths.get(s"src/test/resources/rdfc10/$name")), UTF_8)
@@ -199,6 +201,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(out.getLong(2) == quads.size)
   }
 
+  test("SQL aggregate canonicalizes a STREAMING groupBy with graphs split across batches") {
+    // rdfc10_canon_dataset as a streaming aggregation: the state store
+    // carries the quad buffer BETWEEN micro-batches through the
+    // serialize/deserialize codec, and complete-mode output must equal
+    // the batch aggregate even when one graph's quads arrive split
+    // across two triggers (the hard case: no single batch ever sees
+    // the whole graph).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val g20 = graft.rdf.NQuadsParser.parseDocument(fixture("test020-in.nq"))
+      .map(q => ("g20", q))
+    val g60 = graft.rdf.NQuadsParser.parseDocument(fixture("test060-in.nq"))
+      .map(q => ("g60", q))
+    def rows(xs: Seq[(String, graft.rdf.Quad)]): Seq[SqlSurfaceSpec.StreamQuad] =
+      xs.map { case (k, q) =>
+        SqlSurfaceSpec.StreamQuad(k, q.sKind, q.s, q.p, q.oKind, q.o, q.oDt,
+          q.oLang, q.gKind, q.g)
+      }
+    val mem = MemoryStream[SqlSurfaceSpec.StreamQuad]
+    val df = mem.toDF()
+    df.createOrReplaceTempView("stream_quads")
+    val q = spark.sql(
+      """SELECT k, rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM stream_quads GROUP BY k""".stripMargin)
+      .writeStream.format("memory").queryName("stream_canon")
+      .outputMode("complete").start()
+    try {
+      // batch 1: half of g20, all of g60's first half
+      val (a20, b20) = g20.splitAt(g20.size / 2)
+      val (a60, b60) = g60.splitAt(g60.size / 2)
+      mem.addData(rows(a20 ++ a60)); q.processAllAvailable()
+      mem.addData(rows(b20 ++ b60)); q.processAllAvailable()
+      val out = spark.sql("select k, r.status, r.canonicalNQuads from stream_canon")
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(out("g20") == ("ok", fixture("test020-rdfc10.nq")))
+      assert(out("g60") == ("ok", fixture("test060-rdfc10.nq")))
+    } finally q.stop()
+  }
+
   test("extension class injects the same functions at session build") {
     // GraftExtensions delegates to GraftFunctions.functions — assert
     // the injection list covers all names (the shared-session tests
@@ -207,4 +249,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(names == Set("rdfc10_canonicalize", "rdfc10_issue", "rdfc10_canon_dataset"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
+}
+
+object SqlSurfaceSpec {
+  /** Row shape for the streaming-aggregation test: named fields give
+    * the MemoryStream an encoder and the SQL its column names. */
+  final case class StreamQuad(k: String, sKind: Byte, s: String, p: String,
+                              oKind: Byte, o: String, oDt: String,
+                              oLang: String, gKind: Byte, g: String)
 }
