@@ -195,6 +195,22 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // --- batch tumbling-window aggregation: the DuckDB-verified batch
+    // twin of EventStream.windowedCounts (same transform shape; the
+    // streaming variant is tied to this semantic by the batch/stream
+    // equivalence property in EventStreamSpec). Epoch-micros window
+    // bounds keep the comparison timezone-free, like q18 ----------------
+    "q37_time_buckets" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("tsx", col("ts").cast("timestamp"))
+        .groupBy(window(col("tsx"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          unix_micros(col("window.end")).as("win_end_us"),
+          col("event_type"), col("n"), col("sum_value_c"))
+        .orderBy("win_start_us", "event_type")),
+
     // --- near-dup dedup family (DuckDB-oracled: md5-portable hashing) -------------
     "q19_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), threshold = 0.5)
@@ -526,6 +542,16 @@ object SparkEntry {
          |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)))
          |ORDER BY doc_id""".stripMargin
     },
+
+    // time_bucket's 2000-01-01 origin is 10-minute-aligned with
+    // Spark's epoch-0 window origin, so bucket boundaries agree
+    "q37_time_buckets" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS win_start_us,
+        |  epoch_us(time_bucket(INTERVAL '10 minutes', ts)) + 600000000 AS win_end_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY win_start_us, event_type""".stripMargin,
 
     "q19_minhash_lsh" -> jaccardOracle(0.5),
     "q21_ngram_jaccard" -> jaccardOracle(0.5),
