@@ -214,10 +214,23 @@ object Similarity {
   private[ops] def refineCentroids(u: DataFrame, nCentroids: Int, seed: Long,
                                    iters: Int, sampleFactor: Int = 50,
                                    maxSample: Int = 1 << 18): Array[(Long, Array[Float], Double)] = {
-    val init = selectCentroids(u, nCentroids, seed)
-    if (iters <= 0 || init.isEmpty) return init
-    val sampleN = math.min(nCentroids.toLong * sampleFactor, maxSample.toLong).toInt
-    val sample = selectCentroids(u, sampleN, seed) // same order => superset of init
+    if (iters <= 0) return selectCentroids(u, nCentroids, seed)
+    val sampleN = math.max(nCentroids.toLong,
+      math.min(nCentroids.toLong * sampleFactor, maxSample.toLong)).toInt
+    // ONE collect: the sample is a superset of the would-be init set
+    // under the same md5 ordering, so the K seed members are derived
+    // driver-side (md5 hex is lowercase ASCII — String order here ==
+    // UTF8String order in the Spark sort) instead of a second job
+    val sample = selectCentroids(u, sampleN, seed)
+    if (sample.isEmpty) return sample
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def ck(id: Long): String = {
+      md5.reset()
+      md5.digest(s"ivf:$seed:$id".getBytes(UTF_8))
+        .map(b => f"$b%02x").mkString
+    }
+    val init = sample.sortBy { case (id, _, _) => (ck(id), id) }
+      .take(nCentroids).sortBy(_._1)
     val kk = init.length
     val dims = init.head._2.length
     var cents: Array[Array[Float]] = init.map(_._2)
