@@ -57,25 +57,32 @@ object Bench {
       Trials(if (min < Double.MaxValue) Some(min) else None, fails.reverse)
     }
 
-    /** Calibration-gated timing for the long canon headlines: this
+    /** Spread-confirmed timing for the long canon headlines: this
       * host shows steal-time waves that inflated the driver-visible
       * canon numbers 20x in rounds 1-2 (r2: 99.3 s recorded vs 3.7 s
-      * judge-calibrated). Same probe gate as ScalingBench: a trial
-      * counts only if a raw-CPU probe before AND after it stays
-      * within 12% of the best probe seen.
+      * judge-calibrated), and the r3 probe gate had a blind spot — a
+      * wave landing entirely INSIDE a trial with calm probe endpoints
+      * shipped a 17.8 s staged record the judge measured at 4.0 s.
       *
-      * SPREAD check (closes the r3 blind spot): the probes bracket a
-      * trial, but a steal wave can land entirely INSIDE a long trial
-      * with calm endpoints — the r3 driver accepted a 17.8 s staged
-      * trial the judge measured at 4.0 s. The record therefore needs
-      * TWO probe-accepted trials that CONFIRM each other (second-
-      * smallest within 1.5x of the smallest — wide enough for the
-      * staged path's legitimate inter-trial variance, far below the
-      * 4.4x blind-spot case); a lone accepted outlier
-      * keeps attempting. An inflated-only record (no confirmed pair
-      * after the attempt budget) is flagged UncalibratedWindow rather
-      * than silently reported. A too-FAST outlier cannot exist — host
-      * noise only ever adds time — so the confirmed minimum is safe. */
+      * The defense is the SPREAD rule: host noise is strictly
+      * one-sided (it only ever ADDS time), so the minimum is
+      * trustworthy exactly when a second independent trial lands
+      * within 1.3x of it — an inflated outlier cannot be confirmed
+      * by a clean trial, and two trials BOTH inflated to within 30%
+      * of each other by independent waves is the rare double-fault
+      * this (or any) in-run method cannot distinguish from truth.
+      * One untimed warm-up runs first (the r4 diagnostic showed the
+      * cold first trial 4x slower from JIT/codegen alone, which
+      * blocked confirmation). The raw-CPU probes around each trial
+      * are kept as stderr DIAGNOSTICS and a wave-backoff sleep, not
+      * as an accept gate: the r4 diagnostic also showed delivered ALU
+      * drifting +27% WITHIN a run, which made the best-seen ratchet
+      * reject every later probe and starve the old gate — and a probe
+      * gate adds nothing the spread rule doesn't already cover
+      * (uniform whole-run degradation is invisible to both; that is
+      * what cross-run comparison against BENCH/BASELINE.md is for).
+      * No confirmation after the attempt budget → min of all trials,
+      * flagged "UncalibratedWindow" rather than silently reported. */
     def calibratedBest(f: => Unit): Trials = {
       val cores = cpus.toInt
       var bestCal = 0.0
@@ -84,23 +91,28 @@ object Bench {
         bestCal = math.max(bestCal, c)
         c >= bestCal * 0.88
       }
-      var accepted = List.empty[Double]
       var all = List.empty[Double]
       var fails = List.empty[String]
       var attempt = 0
-      def confirmedMin: Option[Double] = accepted.sorted match {
-        case a :: b :: _ if b <= a * 1.5 => Some(a)
+      def confirmedMin: Option[Double] = all.sorted match {
+        case a :: b :: _ if b <= a * 1.3 => Some(a)
         case _ => None
       }
-      while (attempt < 8 && confirmedMin.isEmpty && fails.isEmpty) {
+      try f // warm-up: JIT + codegen, untimed
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          return Trials(None, List(e.getClass.getSimpleName))
+      }
+      while (attempt < 6 && confirmedMin.isEmpty && fails.isEmpty) {
         attempt += 1
         val calmBefore = calm()
         try {
           val t = time(f)
           all ::= t
           val calmAfter = calm()
-          if (calmBefore && calmAfter) accepted ::= t
-          else Thread.sleep(4000) // wait out the wave
+          if (!(calmBefore && calmAfter)) Thread.sleep(3000) // wave backoff
+          System.err.println(
+            f"[bench-cal] attempt=$attempt t=$t%.2fs calm=$calmBefore/$calmAfter bestCal=$bestCal%.3e")
         } catch {
           case scala.util.control.NonFatal(e) => fails ::= e.getClass.getSimpleName
         }
@@ -108,15 +120,17 @@ object Bench {
       confirmedMin match {
         case Some(t) => Trials(Some(t), fails.reverse)
         case None =>
-          Trials((accepted ++ all).minOption,
-            ("UncalibratedWindow" :: fails).reverse)
+          Trials(all.minOption, ("UncalibratedWindow" :: fails).reverse)
       }
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Trials]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = best(fn(spark, sfDir).count())
-    }
+    // SPARK_GRAFT_HEADLINES_ONLY=1: skip the per-query loop (fast
+    // canon-gate diagnosis runs)
+    if (!sys.env.get("SPARK_GRAFT_HEADLINES_ONLY").contains("1"))
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        results(name) = best(fn(spark, sfDir).count())
+      }
 
     // headline: canonical N-Quads throughput (graphs/sec) on the
     // synthetic KG corpus — 20k graphs so scheduling overhead is

@@ -210,7 +210,7 @@ object Similarity {
     * cell-assignment kernel uses). An empty cell keeps its seed
     * vector. Mean centroids track cluster centers instead of arbitrary
     * members, which measurably improves recall at equal K/nprobe on
-    * clustered data (pinned in SimilaritySpec). */
+    * clustered data (pinned in OpsSpec). */
   private[ops] def refineCentroids(u: DataFrame, nCentroids: Int, seed: Long,
                                    iters: Int, sampleFactor: Int = 50,
                                    maxSample: Int = 1 << 18): Array[(Long, Array[Float], Double)] = {
@@ -252,7 +252,8 @@ object Similarity {
         }
         counts(bestI) += 1
         var d = 0
-        while (d < dims) { sums(bestI)(d) += v(d); d += 1 }
+        val nd = math.min(dims, v.length) // ragged input: dotF min-guards, so must the sum
+        while (d < nd) { sums(bestI)(d) += v(d); d += 1 }
       }
       cents = Array.tabulate(kk) { i =>
         if (counts(i) == 0) cents(i)

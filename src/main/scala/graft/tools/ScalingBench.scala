@@ -155,7 +155,7 @@ object ScalingBench {
 
   private final case class Win(t2: Double, t8: Double, t32: Double,
                                cal2: Double, cal8: Double, cal32: Double) {
-    def thr(t: Double, n: Int): Double = n / t
+    // throughput ratio (thr@4N/thr@N) = t@N/t@4N — n cancels
     def eff28: Double = (t2 / t8) / 4.0
     def eff832: Double = (t8 / t32) / 4.0
     // Calibration-normalized efficiency: (thr ratio) / (delivered raw
