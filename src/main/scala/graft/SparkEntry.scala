@@ -380,7 +380,7 @@ object SparkEntry {
        |FROM pairs WHERE CAST(c AS DOUBLE)/(la+lb-c) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** Golden self-oracles (q24-q27): deterministic pipeline outputs
+  /** Golden self-oracles (GoldenOracleNames): deterministic operator outputs
     * pinned as VALUES at sf0.01 in the generated `GoldenOracles`
     * source — regenerate via `graft.tools.GoldenOracleGen` whenever
     * the operators change. */
