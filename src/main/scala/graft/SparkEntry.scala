@@ -211,6 +211,27 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value_c"))
         .orderBy("win_start_us", "event_type")),
 
+    // --- JSON functions: typed extraction from the events.props JSON
+    // column (get_json_object path syntax == DuckDB ->> paths) ----------
+    "q38_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .where(col("props").isNotNull && col("props") =!= "")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // --- date/time part functions over orders -------------------------
+    "q39_date_parts" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("od", col("o_orderdate").cast("timestamp"))
+        .groupBy(year(col("od")).as("y"), quarter(col("od")).as("q"),
+          month(col("od")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .orderBy("y", "q", "m")),
+
     // --- near-dup dedup family (DuckDB-oracled: md5-portable hashing) -------------
     "q19_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), threshold = 0.5)
@@ -552,6 +573,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY win_start_us, event_type""".stripMargin,
+
+    "q38_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events WHERE props IS NOT NULL AND props != ''
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q39_date_parts" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders GROUP BY 1, 2, 3
+        |ORDER BY y, q, m""".stripMargin,
 
     "q19_minhash_lsh" -> jaccardOracle(0.5),
     "q21_ngram_jaccard" -> jaccardOracle(0.5),
