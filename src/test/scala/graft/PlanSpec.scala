@@ -35,6 +35,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("BroadcastHashJoin").length >= 4, p) // 3+ broadcast joins
   }
 
+  test("q39: date-part aggregation prunes the scan to exactly two columns") {
+    val p = planOf(SparkEntry.queries("q39_date_parts")(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderdate") && readSchema.contains("o_totalprice"),
+      readSchema)
+    assert(!readSchema.contains("o_custkey") && !readSchema.contains("o_orderpriority"),
+      readSchema)
+  }
+
+  test("q38: the props null/empty filter is pushed to the parquet scan") {
+    val p = planOf(SparkEntry.queries("q38_json_extract")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(props)"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("user_id"), readSchema) // pruned
+  }
+
   test("canonicalization costs exactly one exchange, keyed on the graph") {
     import spark.implicits._
     val docs = spark.createDataset(Seq(("g1", "_:a <urn:p> _:b .")))
