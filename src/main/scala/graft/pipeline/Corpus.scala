@@ -69,7 +69,12 @@ object Corpus {
       skewFactor: Int = 8, // repo 0 has skewFactor * base files
       nEntities: Int = 128,
       mentionsPerFile: Int = 6,
-      seed: Long = 42L
+      seed: Long = 42L,
+      // deterministic filler appended AFTER all mentions/aliases (so
+      // offsets and planted facts are untouched): models real file
+      // bodies, whose bytes dominate scan cost at production scale.
+      // 0 (the default) reproduces the historical corpus byte-exactly.
+      contentPadChars: Int = 0
   ) {
     def filesInRepo(r: Int): Int =
       if (r == 0) baseFilesPerRepo * skewFactor
@@ -137,6 +142,18 @@ object Corpus {
       sb.append(' ')
       mentions += PlantedMention(repo, path, entityName(4 * g + 1), sb.length.toLong, entityName(4 * g + 1))
       sb.append(entityName(4 * g + 1))
+      sb.append('\n')
+    }
+    if (cfg.contentPadChars > 0) {
+      // hex-word filler: never matches the dictionary, the alias
+      // pattern, or any mention surface
+      val target = sb.length + cfg.contentPadChars
+      var p = 0L
+      while (sb.length < target) {
+        sb.append(java.lang.Long.toHexString(mix64(h0 ^ (0x70AD000000000000L + p))))
+        sb.append(' ')
+        p += 1
+      }
       sb.append('\n')
     }
     sb.append("// end\n")

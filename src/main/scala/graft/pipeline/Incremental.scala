@@ -60,10 +60,34 @@ object Incremental {
     * `state` is the full new snapshot state (the table to persist for
     * the next increment). `newDocs` holds the (outputSha256,
     * canonicalNQuads) pairs produced by THIS increment — append them
-    * to the content-addressed doc store via [[appendDocs]]. */
+    * to the content-addressed doc store via [[appendDocs]].
+    * `aliases` is the repo-attributed alias edge set for THIS
+    * snapshot — persist it alongside `state` and pass it back as
+    * `prevAliases` so the next increment's alias scan is O(changed)
+    * instead of a full corpus content scan (see [[run]]). */
   final case class Increment(ccFingerprint: Long, fresh: DataFrame,
-                             reused: DataFrame, newDocs: DataFrame) {
+                             reused: DataFrame, newDocs: DataFrame,
+                             aliases: DataFrame) {
     def state: DataFrame = fresh.unionByName(reused)
+  }
+
+  /** (repo, src, dst) alias edges — the repo-attributed variant of
+    * `Kg.detectAliases`, so edges of unchanged repos can be carried
+    * forward by fingerprint instead of re-scanned: alias facts are a
+    * pure function of repo content, and an unchanged fingerprint
+    * means unchanged content. */
+  def aliasEdgesByRepo(files: Dataset[FileRow]): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      val re = Kg.AliasRe
+      it.flatMap { f =>
+        val m = re.matcher(f.content)
+        val out = Vector.newBuilder[(String, String, String)]
+        while (m.find()) out += ((f.repo, m.group(1), m.group(2)))
+        out.result()
+      }
+    }.toDF("repo", "src", "dst").dropDuplicates("repo", "src", "dst")
   }
 
   /** Content-addressed append: only shas the store has not seen are
@@ -98,26 +122,74 @@ object Incremental {
 
   /** Canonicalize the snapshot incrementally against `prev` =
     * (previous ccFingerprint, previous state) from the last run; pass
-    * None for the bootstrap (everything fresh). */
+    * None for the bootstrap (everything fresh).
+    *
+    * `prevAliases` (the previous run's [[Increment.aliases]]) makes
+    * the alias scan itself incremental: without it every increment
+    * pays one full-corpus CONTENT scan just to rebuild the global
+    * entity map for the soundness guard — measured at 20k synthetic
+    * repos that scan canceled the entire kernel saving
+    * (IncrementalBench: increment 4.4 s vs bootstrap 3.8 s). With it,
+    * only changed repos' content is scanned; unchanged repos' edges
+    * carry forward BY FINGERPRINT (alias facts are a pure function of
+    * content, and an unchanged fingerprint means unchanged content),
+    * deleted repos' edges drop out, and the resulting global entity
+    * map is identical to a full rescan — so the ccFingerprint guard
+    * retains exactly its old semantics. */
   def run(files: Dataset[FileRow], dictNames: Seq[String],
           prev: Option[(Long, DataFrame)],
-          opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default): Increment = {
+          opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default,
+          prevAliases: Option[DataFrame] = None): Increment = {
     val spark = files.sparkSession
     import spark.implicits._
     val dictBc = spark.sparkContext.broadcast(dictNames.toSet)
     val dictDf = dictNames.toDF("name")
 
-    val cc = Kg.connectedComponents(dictDf, Kg.detectAliases(files))
-    val ccFp = canonMapFingerprint(cc)
-    val fps = fingerprints(files)
+    // per-repo fingerprints: one row per repo, consumed by FOUR
+    // downstream paths (changed detection, the alias carry joins, the
+    // reused semi-join, and — on bootstrap — the fresh join). Without
+    // materialization each consumer re-runs the corpus-wide groupBy;
+    // localCheckpoint computes it once (eager, tiny table).
+    val fps = fingerprints(files).localCheckpoint()
 
-    val changed: DataFrame = prev match {
-      case Some((prevCcFp, prevState)) if prevCcFp == ccFp =>
+    // fingerprint-changed repos (independent of the entity map)
+    val changedByFp: DataFrame = prev match {
+      case Some((_, prevState)) =>
         fps.join(
             prevState.select(col("repo"), col("fingerprint").as("prev_fp")),
             Seq("repo"), "left")
           .where(col("prev_fp").isNull || col("prev_fp") =!= col("fingerprint"))
           .select("repo", "fingerprint")
+      case None => fps
+    }
+
+    // alias edges: dictionary-scale, consumed by the CC probes/collect
+    // (several jobs) and returned as carried state — materialized once
+    // so the content scan (or the carry joins) never re-executes
+    // Repo-NAME lists are broadcast-hinted wherever they gate a
+    // corpus-side semi-join: a name list is orders of magnitude
+    // smaller than the content rows it filters at ANY corpus scale,
+    // but the planner cannot see that through a localCheckpoint
+    // boundary and falls back to a sort-merge join that shuffles the
+    // whole content column — measured at 2000 padded repos (~550 MB
+    // content) as a 22 s increment vs 3.5 s with the hint.
+    val aliases: DataFrame = ((prev, prevAliases) match {
+      case (Some(_), Some(prevA)) =>
+        val changedRepos = changedByFp.select("repo")
+        val changedFilesA = files.toDF()
+          .join(broadcast(changedRepos), Seq("repo"), "left_semi").as[FileRow]
+        prevA
+          .join(broadcast(changedRepos), Seq("repo"), "left_anti") // stale edges of changed repos
+          .join(broadcast(fps.select("repo")), Seq("repo"), "left_semi") // deleted repos drop
+          .unionByName(aliasEdgesByRepo(changedFilesA))
+      case _ => aliasEdgesByRepo(files)
+    }).localCheckpoint()
+    val cc = Kg.connectedComponents(dictDf,
+      aliases.select("src", "dst").dropDuplicates("src", "dst").as[AliasEdge])
+    val ccFp = canonMapFingerprint(cc)
+
+    val changed: DataFrame = prev match {
+      case Some((prevCcFp, _)) if prevCcFp == ccFp => changedByFp
       case _ =>
         // no previous state, or the entity map moved: full recompute
         fps
@@ -125,7 +197,7 @@ object Incremental {
 
     // the expensive stages see ONLY the changed repos' files
     val changedFiles = files.toDF()
-      .join(changed.select("repo"), Seq("repo"), "left_semi")
+      .join(broadcast(changed.select("repo")), Seq("repo"), "left_semi")
       .as[FileRow]
     val linked = Kg.linkMentions(Kg.detectMentions(changedFiles, dictBc), dictDf)
     val freshFull = Kg.canonicalizeFromMentions(linked, cc, opts).toDF()
@@ -141,8 +213,8 @@ object Incremental {
     val reused: DataFrame = prev match {
       case Some((prevCcFp, prevState)) if prevCcFp == ccFp =>
         prevState
-          .join(changed.select("repo"), Seq("repo"), "left_anti")
-          .join(fps.select("repo"), Seq("repo"), "left_semi") // drop deleted repos
+          .join(broadcast(changed.select("repo")), Seq("repo"), "left_anti")
+          .join(broadcast(fps.select("repo")), Seq("repo"), "left_semi") // drop deleted repos
           .select(StateCols.map(col): _*)
       case _ =>
         spark.emptyDataFrame.limit(0)
@@ -151,6 +223,6 @@ object Incremental {
             lit(0).as("bnodeCount"), lit("").as("outputSha256"))
     }
 
-    Increment(ccFp, fresh, reused, newDocs)
+    Increment(ccFp, fresh, reused, newDocs, aliases)
   }
 }

@@ -22,7 +22,7 @@ final case class AliasEdge(src: String, dst: String)
 object Kg {
 
   private val TokenRe = java.util.regex.Pattern.compile("\\b[A-Z][A-Za-z0-9]*\\b")
-  private val AliasRe = java.util.regex.Pattern.compile("// alias: (\\S+) (\\S+)")
+  private[pipeline] val AliasRe = java.util.regex.Pattern.compile("// alias: (\\S+) (\\S+)")
 
   /** Mention detection: batched regex scan per file via mapPartitions
     * (pattern compiled once per partition; dictionary is a broadcast

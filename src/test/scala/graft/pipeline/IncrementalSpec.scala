@@ -115,6 +115,53 @@ class IncrementalSpec extends AnyFunSuite {
     docs0.unpersist()
   }
 
+  test("alias-carry increment == full-rescan increment; alias changes stay sound") {
+    import spark.implicits._
+    val filesA = Corpus.generate(spark, cfg)
+    val inc0 = Incremental.run(filesA, dictNames, None)
+    val state0 = inc0.state.cache()
+    val aliases0 = inc0.aliases.cache()
+    val repos0 = state0.select("repo").collect().map(_.getString(0)).toSet
+    val changedRepos = repos0.toSeq.sorted.take(2).toSet
+    val filesB = mutate(filesA, changedRepos)
+
+    // equivalence: carrying unchanged repos' alias edges by fingerprint
+    // must reproduce the full-content-rescan increment exactly
+    val full = Incremental.run(filesB, dictNames, Some((inc0.ccFingerprint, state0)))
+    val carry = Incremental.run(filesB, dictNames, Some((inc0.ccFingerprint, state0)),
+      prevAliases = Some(aliases0))
+    assert(carry.ccFingerprint == full.ccFingerprint)
+    def stateMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("repo", "outputSha256").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stateMap(carry.state) == stateMap(full.state))
+    assert(carry.fresh.select("repo").collect().map(_.getString(0)).toSet
+      == changedRepos)
+    // the carried edge set equals a fresh full scan of the new corpus
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("repo", "src", "dst").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges(carry.aliases) == edges(Incremental.aliasEdgesByRepo(filesB)))
+
+    // soundness: a NEW cross-group alias in a changed repo merges
+    // entities -> the entity map moves -> even the carry path must
+    // degrade to a full recompute (the ccFingerprint guard)
+    val victim = changedRepos.head
+    val filesC = filesA.map { f =>
+      if (f.repo == victim) {
+        val c = f.content +
+          s"\n// alias: ${Corpus.entityName(1)} ${Corpus.entityName(5)}\n"
+        f.copy(content = c, content_sha = graft.spark.CanonEngine.sha256Hex(c))
+      } else f
+    }
+    val incC = Incremental.run(filesC, dictNames, Some((inc0.ccFingerprint, state0)),
+      prevAliases = Some(aliases0))
+    assert(incC.ccFingerprint != inc0.ccFingerprint,
+      "new cross-group alias must move the entity map")
+    assert(incC.reused.count() == 0, "entity-map move must force full recompute")
+    state0.unpersist(); aliases0.unpersist()
+  }
+
   test("vacuum drops orphaned documents and keeps live ones byte-identical") {
     import spark.implicits._
     val filesA = Corpus.generate(spark, cfg)
