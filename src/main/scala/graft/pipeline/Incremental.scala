@@ -195,10 +195,20 @@ object Incremental {
         fps
     }
 
-    // the expensive stages see ONLY the changed repos' files
-    val changedFiles = files.toDF()
-      .join(broadcast(changed.select("repo")), Seq("repo"), "left_semi")
-      .as[FileRow]
+    // the expensive stages see ONLY the changed repos' files; when
+    // EVERYTHING is fresh (bootstrap / entity-map move: `changed` is
+    // the fps reference itself) the semi-join is a no-op — skip it
+    // rather than broadcast the full repo list for nothing.
+    // Deployment note: this filter prunes ROWS after the scan; to
+    // avoid READING unchanged content bytes at all, store the corpus
+    // partitioned by repo bucket — the broadcast semi-join on the
+    // partitioning column then triggers dynamic partition pruning and
+    // unchanged partitions are never fetched from storage.
+    val changedFiles =
+      if (changed eq fps) files
+      else files.toDF()
+        .join(broadcast(changed.select("repo")), Seq("repo"), "left_semi")
+        .as[FileRow]
     val linked = Kg.linkMentions(Kg.detectMentions(changedFiles, dictBc), dictDf)
     val freshFull = Kg.canonicalizeFromMentions(linked, cc, opts).toDF()
       .withColumnRenamed("key", "repo")
