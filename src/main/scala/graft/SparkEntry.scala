@@ -245,9 +245,9 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "q28_jaccard_stats" -> ((s, d) =>
       // threshold matches the q21 pair join this index serves; the
-      // stats always describe the PREFIX index (the at-scale plan) —
-      // q21's small-corpus full-index fast path emits the identical
-      // pair set, so the recall bound quantified here applies to both
+      // over-df stats use the FULL per-shingle df — the same cap
+      // basis BOTH q21 plans split on (they emit the identical pair
+      // set), so the recall bound quantified here applies to either
       Dedup.ngramShingleStats(t(s, d, "documents"), threshold = 0.5)),
 
     // --- similarity search ----------------------------------------------------------
@@ -754,7 +754,8 @@ object SparkEntry {
     // prefix-index replica: same global (df, shingle-hex) order and
     // |s| - ceil(t*|s|) + 1 prefix cut as Dedup.prefixPostings (the
     // Spark side tie-breaks on the unsigned first-8-md5-bytes, which
-    // equals this hex-string order)
+    // equals this hex-string order); over-df stats on the FULL df —
+    // the cap basis both q21 plans share
     "q28_jaccard_stats" ->
       s"""$ShingleCte, inv AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
          |dfc AS (SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle),
@@ -763,14 +764,13 @@ object SparkEntry {
          |    SELECT i.id, i.shingle, i.n,
          |      ROW_NUMBER() OVER (PARTITION BY i.id ORDER BY d.df, i.shingle) AS rn
          |    FROM inv i JOIN dfc d USING (shingle))
-         |  WHERE rn <= n - CEIL(0.5 * n) + 1),
-         |pdfc AS (SELECT shingle, COUNT(*) AS pdf FROM pre GROUP BY shingle)
+         |  WHERE rn <= n - CEIL(0.5 * n) + 1)
          |SELECT
-         |  (SELECT COUNT(*) FROM pdfc) AS n_shingles,
-         |  (SELECT CAST(COALESCE(SUM(CASE WHEN pdf > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM pdfc) AS n_overdf,
-         |  (SELECT CAST(COALESCE(SUM(CASE WHEN pdf > 100 THEN pdf ELSE 0 END), 0) AS BIGINT) FROM pdfc) AS overdf_mass,
+         |  (SELECT COUNT(DISTINCT shingle) FROM pre) AS n_shingles,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN df > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM dfc) AS n_overdf,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN df > 100 THEN df ELSE 0 END), 0) AS BIGINT) FROM dfc) AS overdf_mass,
          |  (SELECT COUNT(*) FROM sh WHERE id NOT IN (
-         |     SELECT DISTINCT id FROM pre JOIN pdfc USING (shingle)
-         |     WHERE pdf BETWEEN 2 AND 100)) AS n_docs_unindexed""".stripMargin
+         |     SELECT DISTINCT id FROM pre JOIN dfc USING (shingle)
+         |     WHERE df BETWEEN 2 AND 100)) AS n_docs_unindexed""".stripMargin
   )
 }

@@ -102,6 +102,11 @@ object Dedup {
                           maxBucket: Int): DataFrame =
     LshUtil.bucketPairs(buckets, keys, maxBucket)
 
+  /** Full inverted postings (id, n = |doc's shingle set|, shingle). */
+  private def invertedPostings(sh: DataFrame): DataFrame =
+    sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+
   /** PREFIX postings (the exact prefix-filtering principle of
     * All-Pairs / PPJoin / SSJoin): under a global shingle order —
     * (document frequency asc, shingle asc), i.e. rarest first — any
@@ -114,17 +119,24 @@ object Dedup {
     * sf1 bench measured the full-index variant going superlinear
     * (88 s at 10x rows) exactly through that df shift. Two extra
     * narrow shuffles (df join + per-doc rank, both spillable) buy a
-    * quadratically smaller pair stage. */
-  private def prefixPostings(sh: DataFrame, threshold: Double): DataFrame = {
-    val inverted = sh.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("shingle"))
-    val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    * quadratically smaller pair stage.
+    *
+    * `dfc` is the FULL per-shingle document-frequency table (computed
+    * once by the caller and shared with the rare/over-df split, so the
+    * cap semantics cannot drift between plans). A doc's prefix is a
+    * DOWN-SET of the global order restricted to its shingles: if any
+    * shared shingle of a pair is in both prefixes (guaranteed for
+    * Jaccard >= t), then in particular the pair's RAREST shared
+    * shingle is — the fact the plan-equivalence proof in
+    * [[ngramJaccardPairs]] rests on. */
+  private def prefixPostings(inverted: DataFrame, dfc: DataFrame,
+                             threshold: Double): DataFrame = {
     // the df tie-break must be the UNSIGNED shingle order (= md5-hex
     // string order, which the DuckDB oracle uses): flip the sign bit
     val w = Window.partitionBy("id")
       .orderBy(col("df"), col("shingle").bitwiseXOR(lit(Long.MinValue)))
-    // consumed by the prefix-df count, the rare-list join and the
-    // over-df star (cache optional — see LshUtil.maybePersist)
+    // consumed by the rare-list join and the unindexed-docs stat
+    // (cache optional — see LshUtil.maybePersist)
     inverted.join(dfc, "shingle")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
@@ -132,42 +144,94 @@ object Dedup {
       .transform(maybePersist)
   }
 
+  /** Bytes-per-document divisor for the size-based plan gate below:
+    * deliberately LOW (the sf0.1 documents table measures ~119
+    * compressed bytes/doc), so an unknown/overstated size estimate
+    * overestimates the doc count and errs toward the prefix plan —
+    * the plan that stays subquadratic at scale. Wrong in the other
+    * direction it merely costs the ~1.5 s prefix constant. */
+  private val EstBytesPerDoc = 128L
+
+  /** Estimated document count WITHOUT running a count() job: caller
+    * hint if given, else Catalyst's row-count statistic when known
+    * (LocalRelation, CBO), else plan sizeInBytes / [[EstBytesPerDoc]].
+    * An unknown size propagates as Long.MaxValue → prefix plan. Since
+    * the two plans emit the IDENTICAL pair set (see
+    * [[ngramJaccardPairs]]), a misestimate is a pure performance
+    * trade, never a correctness one. */
+  private def estimatedDocs(docs: DataFrame, hint: Long): Long =
+    if (hint >= 0L) hint
+    else {
+      val stats = docs.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+        val sz = stats.sizeInBytes
+        if (sz >= BigInt(Long.MaxValue)) Long.MaxValue
+        else math.max(1L, sz.toLong / EstBytesPerDoc)
+      }
+    }
+
   /** n-gram Jaccard near-dup via a PREFIX-FILTERED inverted shingle
-    * index: candidates = pairs sharing a prefix shingle whose prefix
+    * index: candidates = pairs sharing a prefix shingle whose FULL
     * document frequency lies in [2, maxDf], verified with EXACT
     * Jaccard over the full shingle sets. Prefix filtering is lossless
     * (see [[prefixPostings]]); the only recall cut is the maxDf cap,
     * and shingles past it no longer vanish silently (a duplicate
     * cluster larger than maxDf shares ONLY over-df shingles): each
-    * over-df prefix shingle contributes STAR candidates from its
-    * first maxDf ids to its min id — bounded recall recovery; the
-    * remaining bound is quantified by [[ngramShingleStats]].
+    * over-df shingle contributes STAR candidates from the first maxDf
+    * ids of its FULL posting list to its min id — bounded recall
+    * recovery; the remaining bound is quantified by
+    * [[ngramShingleStats]].
     *
     * ADAPTIVE plan choice: the prefix filter's two extra narrow
     * shuffles (df join + per-doc rank) cost a ~1.5 s constant that
     * only pays off once the pair stage would otherwise dominate — the
     * sf1 bench measured full-index 88 s vs prefix 16 s at 50k docs,
     * while at 5k docs prefix is pure overhead. Below `prefixMinDocs`
-    * (one cheap count() to decide) the FULL inverted index is used
-    * instead; because the prefix cut is lossless and the exact verify
-    * defines the output, the EMITTED SET is identical on either
-    * plan (pinned by the OpsSpec equivalence property) — only the
-    * physical plan changes. `prefixMinDocs = 0` forces the prefix
-    * plan without counting; `Int.MaxValue` forces the full index.
-    * Returns (id_a, id_b, jaccard), id_a < id_b. */
+    * (decided from plan statistics — see [[estimatedDocs]]; pass
+    * `numDocsHint` when the caller knows the cardinality; no count()
+    * job either way) the FULL inverted index is used instead.
+    *
+    * The EMITTED SET is identical on either plan (pinned by two
+    * OpsSpec properties, including one whose maxDf actually binds):
+    *  - both plans split rare/over-df shingles on the SAME table —
+    *    the full per-shingle df (the prefix plan needs it anyway for
+    *    its global order, the full plan's posting groupBy IS it), so
+    *    a shingle is never "rare" on one plan and "over" on the
+    *    other (the round-4 defect: the cap applied to prefix-df on
+    *    one plan and full-df on the other);
+    *  - the over-df star is built from the FULL posting list on both
+    *    plans — identical input, identical star pairs;
+    *  - for the rare path, the prefix plan's candidates are a subset
+    *    of the full plan's, but no TRUE pair is lost: a pair with
+    *    Jaccard >= t sharing any rare shingle also has its RAREST
+    *    shared shingle rare (df-ascending order), and that shingle is
+    *    in both prefixes (prefix-filter lemma + prefixes are
+    *    down-sets of the order — see [[prefixPostings]]), so the
+    *    prefix plan emits the pair through it; every extra full-plan
+    *    candidate below threshold dies in the exact verify.
+    *
+    * `prefixMinDocs = 0` forces the prefix plan; `Int.MaxValue`
+    * forces the full index. Returns (id_a, id_b, jaccard),
+    * id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         idCol: String = "doc_id", textCol: String = "text",
                         k: Int = 5, maxDf: Int = 100,
-                        prefixMinDocs: Int = 20000): DataFrame = {
+                        prefixMinDocs: Int = 20000,
+                        numDocsHint: Long = -1L): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, k)
-    val usePrefix = prefixMinDocs == 0 || docs.count() >= prefixMinDocs
+    val usePrefix = prefixMinDocs == 0 ||
+      (prefixMinDocs != Int.MaxValue &&
+        estimatedDocs(docs, numDocsHint) >= prefixMinDocs)
+    val inverted = invertedPostings(sh)
+    // FULL per-shingle document frequency — the single df table both
+    // the plan gate's rare/over split and the prefix order use
+    val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
     val pre =
-      if (usePrefix) prefixPostings(sh, threshold)
-      else sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val pdfc = pre.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+      if (usePrefix) prefixPostings(inverted, dfc, threshold)
+      else inverted.select("id", "shingle")
     // rare path: join the (small) rare-key set back BEFORE collecting,
     // so no aggregation buffer ever exceeds maxDf ids
-    val rareKeys = pdfc.where(col("pdf") <= maxDf && col("pdf") >= 2)
+    val rareKeys = dfc.where(col("df") <= maxDf && col("df") >= 2)
       .select("shingle")
     val rareLists = pre.join(rareKeys, "shingle")
       .groupBy("shingle").agg(collect_list("id").as("ids"))
@@ -176,11 +240,12 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
     // over-df recovery: star from the shingle's min id to its first
-    // maxDf ids — windowed (sort-based, spillable), never a
-    // collect_list of an unbounded posting list
-    val overKeys = pdfc.where(col("pdf") > maxDf).select("shingle")
+    // maxDf FULL-posting ids — windowed (sort-based, spillable), never
+    // a collect_list of an unbounded posting list; built from the full
+    // inverted postings on BOTH plans so the stars are identical
+    val overKeys = dfc.where(col("df") > maxDf).select("shingle")
     val w = Window.partitionBy("shingle").orderBy("id")
-    val star = pre.join(overKeys, "shingle")
+    val star = inverted.select("id", "shingle").join(overKeys, "shingle")
       .withColumn("rn", row_number().over(w))
       .withColumn("hub", min("id").over(w)) // prefix min on sorted ids = global min
       .where(col("rn") <= maxDf + 1 && col("id") =!= col("hub"))
@@ -191,26 +256,37 @@ object Dedup {
       sh, threshold)
   }
 
-  /** Recall instrumentation for [[ngramJaccardPairs]] (one row), over
-    * the PREFIX index it actually builds: distinct prefix shingles,
-    * prefix shingles over the df cap (+ their total posting mass =
-    * candidate entries not fully expanded), and documents with ZERO
-    * in-range prefix postings (reachable only through the over-df
-    * star, i.e. the documented recall bound). `threshold` must match
-    * the pair join being instrumented. */
+  /** Recall instrumentation for [[ngramJaccardPairs]] (one row),
+    * using the SAME full-df cap semantics as the pair join (and both
+    * of its physical plans, which emit identical sets): distinct
+    * prefix shingles, shingles over the FULL-df cap — the exact key
+    * set the over-df star degrades (+ their total full posting mass =
+    * candidate entries the star does not fully expand), and documents
+    * with ZERO in-range prefix postings. Such
+    * a doc's true pairs are reachable only through the over-df star
+    * — if a true pair shared a rare (full-df <= maxDf) shingle, the
+    * pair's rarest shared shingle would be rare and sit in both
+    * prefixes (see [[ngramJaccardPairs]]), indexing the doc. That is
+    * the documented recall bound, tied to ground truth by the OpsSpec
+    * star-recall property. `threshold` must match the pair join being
+    * instrumented. */
   def ngramShingleStats(docs: DataFrame, threshold: Double = 0.8,
                         idCol: String = "doc_id",
                         textCol: String = "text", k: Int = 5,
                         maxDf: Int = 100): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, k)
-    val pre = prefixPostings(sh, threshold)
-    val pdfc = pre.groupBy("shingle").agg(count(lit(1)).as("pdf"))
-    val shingleAgg = pdfc.agg(
-      count(lit(1)).as("n_shingles"),
-      sum(when(col("pdf") > maxDf, 1L).otherwise(0L)).as("n_overdf"),
-      sum(when(col("pdf") > maxDf, col("pdf")).otherwise(0L)).as("overdf_mass"))
+    val inverted = invertedPostings(sh)
+    val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val pre = prefixPostings(inverted, dfc, threshold)
+    val nPrefixShingles = pre.agg(
+      count_distinct(col("shingle")).as("n_shingles"))
+    // over-df stats come from the GLOBAL df table — the same key set
+    // the pair join's star path degrades, prefix-present or not
+    val shingleAgg = nPrefixShingles.crossJoin(dfc.agg(
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_overdf"),
+      sum(when(col("df") > maxDf, col("df")).otherwise(0L)).as("overdf_mass")))
     val indexed = pre.join(
-        pdfc.where(col("pdf") <= maxDf && col("pdf") >= 2), "shingle")
+        dfc.where(col("df") <= maxDf && col("df") >= 2), "shingle")
       .select("id").distinct()
     val unindexed = sh.select("id").distinct()
       .join(indexed, Seq("id"), "left_anti")

@@ -135,8 +135,135 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet == (2L to 101L).toSet)
 
     val stats = Dedup.ngramShingleStats(d, maxDf = 100).head()
-    assert(stats.getAs[Long]("n_overdf") == stats.getAs[Long]("n_shingles"))
+    // over-df stats count GLOBAL shingles (the star's exact key set);
+    // n_shingles counts distinct PREFIX shingles, a subset
+    assert(stats.getAs[Long]("n_overdf") >= stats.getAs[Long]("n_shingles"))
+    assert(stats.getAs[Long]("n_overdf") > 0L)
+    // uniform cluster: every over-df shingle has the full df = 150
+    assert(stats.getAs[Long]("overdf_mass") == stats.getAs[Long]("n_overdf") * 150L)
     assert(stats.getAs[Long]("n_docs_unindexed") == 150L)
+  }
+
+  test("PROPERTY: adaptive plans emit identical sets when maxDf BINDS") {
+    // the round-4 defect: maxDf applied to prefix-df on one plan and
+    // full-df on the other made the plans emit different sets once the
+    // cap was binding. Both plans now split rare/over on the SAME full
+    // df table and build the star from the same full postings —
+    // emitted sets must be identical under a cap small enough to
+    // actually trigger the over-df star, and the rare path must stay
+    // lossless for pairs whose rarest shared shingle is under the cap.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val maxDf = 3
+    // small vocabulary + repeated docs -> plenty of shingles with
+    // df > 3, including ones rare in prefixes but hot in full postings
+    val wordGen = Gen.oneOf((1 to 8).map(i => s"w$i"))
+    val docGen = for {
+      n <- Gen.choose(3, 8); ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      n <- Gen.choose(8, 16); ds <- Gen.listOfN(n, docGen)
+      dups <- Gen.choose(0, 4) // planted duplicates inflate df past the cap
+    } yield ds ++ ds.take(dups)
+    var sawOverDf = false
+    (0 until 6).foreach { i =>
+      val texts = corpusGen.pureApply(Gen.Parameters.default, Seed(8100L + i))
+      val d = docs(texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }: _*)
+      val sets = texts.zipWithIndex.map { case (txt, j) =>
+        j.toLong -> Dedup.shingleHashes(txt, 5).toSet
+      }.toMap
+      val dfOf = sets.values.flatten.toSeq.groupBy(identity).map { case (s, xs) => s -> xs.size }
+      if (dfOf.values.exists(_ > maxDf)) sawOverDf = true
+      Seq(0.5, 0.8).foreach { t =>
+        val prefix = Dedup.ngramJaccardPairs(d, threshold = t, maxDf = maxDf,
+            prefixMinDocs = 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val full = Dedup.ngramJaccardPairs(d, threshold = t, maxDf = maxDf,
+            prefixMinDocs = Int.MaxValue)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(prefix == full,
+          s"seed ${8100 + i} t=$t: prefix=$prefix full=$full")
+        val truePairs = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          inter = sets(a).intersect(sets(b)).size
+          j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+          if j >= t
+        } yield (a, b)).toSet
+        // precision 1: the exact verify admits only true pairs
+        assert(prefix.subsetOf(truePairs), s"seed ${8100 + i} t=$t precision")
+        // rare-path losslessness under the cap: a true pair whose
+        // RAREST shared shingle has df in [2, maxDf] must be emitted
+        val mustEmit = truePairs.filter { case (a, b) =>
+          val shared = sets(a).intersect(sets(b))
+          shared.nonEmpty && {
+            val rarest = shared.minBy(s => (dfOf(s), s ^ Long.MinValue))
+            dfOf(rarest) >= 2 && dfOf(rarest) <= maxDf
+          }
+        }
+        assert(mustEmit.subsetOf(prefix),
+          s"seed ${8100 + i} t=$t: missing ${mustEmit.diff(prefix)}")
+      }
+    }
+    assert(sawOverDf, "generator never produced an over-df shingle — cap untested")
+  }
+
+  test("over-df star recall bound from ngramShingleStats matches ground truth") {
+    // plants a duplicate cluster LARGER than maxDf next to indexed
+    // near-dup pairs, then ties the stats row to the actually emitted
+    // pairs: the predicted star recall computed from (n_overdf,
+    // overdf_mass, n_docs_unindexed) must equal the measured recall.
+    val maxDf = 10
+    // cluster alphabet {c, digits, space}: every 5-char window has a
+    // 'c' or digit, so it cannot collide with the pair docs below
+    // (letters a..z minus c, one trailing digit)
+    val cluster = (1 to 25).map(i => s"c$i").mkString(" ")
+    val clusterDocs = (1L to 30L).map(i => (i, cluster))
+    // 3 indexed near-dup pairs: shared body (df=6) + per-pair tag
+    // (df=2) keep every pair doc inside the [2, maxDf] rare range;
+    // the two variants differ only in the final digit
+    val body = "aaaa bbbb dddd eeee ffff gggg hhhh iiii jjjj kkkk llll mmmm nnnn oooo"
+    val tags = Seq("pppp qqqq rrrr ssss", "tttt uuuu vvvv wwww", "xxxx yyyy zzzz xyzw")
+    val pairDocs = tags.zipWithIndex.flatMap { case (tag, i) =>
+      Seq((101L + 2 * i, s"$body $tag m1"), (102L + 2 * i, s"$body $tag m2"))
+    }
+    val d = docs(clusterDocs ++ pairDocs: _*)
+    val t = 0.8
+    // preconditions, computed from the kernel directly: within-pair
+    // jaccard clears the threshold, cross-pair stays below it
+    val pSets = pairDocs.map { case (id, txt) => id -> Dedup.shingleHashes(txt, 5).toSet }.toMap
+    def jac(a: Long, b: Long): Double = {
+      val i = pSets(a).intersect(pSets(b)).size
+      i.toDouble / (pSets(a).size + pSets(b).size - i)
+    }
+    Seq((101L, 102L), (103L, 104L), (105L, 106L)).foreach { case (a, b) =>
+      assert(jac(a, b) >= t, s"precondition: jac($a,$b)=${jac(a, b)}")
+    }
+    assert(jac(101L, 103L) < t && jac(103L, 105L) < t && jac(101L, 105L) < t)
+    assert(pSets.values.flatten.toSet.intersect(
+      Dedup.shingleHashes(cluster, 5).toSet).isEmpty, "alphabets must be disjoint")
+    val emitted = Dedup.ngramJaccardPairs(d, threshold = t, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stats = Dedup.ngramShingleStats(d, threshold = t, maxDf = maxDf).head()
+    // the three indexed pairs are emitted via the rare path
+    assert(Set((101L, 102L), (103L, 104L), (105L, 106L)).subsetOf(emitted))
+    // stats identify exactly the cluster as star-only
+    val unindexed = stats.getAs[Long]("n_docs_unindexed")
+    assert(unindexed == 30L, s"unindexed=$unindexed")
+    // uniform cluster size recovered from the stats row
+    val cHat = stats.getAs[Long]("overdf_mass") / stats.getAs[Long]("n_overdf")
+    assert(cHat == 30L, s"cHat=$cHat")
+    // predicted: the star links min(maxDf, C-1) members to the hub;
+    // measured: emitted pairs within the cluster
+    val clusterEmitted = emitted.count { case (a, b) => a <= 30L && b <= 30L }
+    val predicted = math.min(maxDf.toLong, cHat - 1)
+    assert(clusterEmitted.toLong == predicted,
+      s"cluster emitted=$clusterEmitted predicted=$predicted")
+    // end-to-end recall: measured == predicted from the stats numbers
+    val trueCluster = cHat * (cHat - 1) / 2
+    val measuredRecall = (emitted.size).toDouble / (3 + trueCluster)
+    val predictedRecall = (3 + predicted).toDouble / (3 + trueCluster)
+    assert(math.abs(measuredRecall - predictedRecall) < 1e-12,
+      s"recall measured=$measuredRecall predicted=$predictedRecall")
   }
 
   test("simhash emitted set is exactly the hamming<=h set (pigeonhole chunks)") {
