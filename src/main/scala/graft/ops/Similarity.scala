@@ -53,7 +53,7 @@ object Similarity {
     * real in Spark, which would rank the zero vector as everyone's
     * top neighbor and pass every >= threshold filter. The SQL oracles
     * carry the same guard. */
-  private def withNorms(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private[ops] def withNorms(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     // diamond-consumed (banding/centroid assignment + both cosine
@@ -195,19 +195,37 @@ object Similarity {
       .collect().sortBy(_._1)
   }
 
+  /** Fixed-point scale for the distributed Lloyd partial sums: each
+    * float coordinate contributes round(v · 2^24) as a Long, so the
+    * per-centroid reduction is pure Long addition — ASSOCIATIVE AND
+    * COMMUTATIVE, hence bit-deterministic under any partitioning,
+    * parallelism, or reduction order (double summation is not; the
+    * driver-side loop this replaces had to sum id-ascending to stay
+    * deterministic). Precision: ~6e-8 absolute per coordinate — far
+    * below float ULP at embedding magnitudes. Overflow headroom:
+    * 2^18 sample rows · |v| ≤ 2^20 · 2^24 = 2^62. */
+  private val LloydFixedPoint = 1L << 24
+
   /** Lloyd-refined IVF centroids: start from the md5-ordered member
     * sample of [[selectCentroids]] and run `iters` k-means iterations
     * over a BOUNDED deterministic sample (the first
     * `nCentroids * sampleFactor` vectors in the SAME md5 order, capped
-    * at `maxSample` = 262k rows ≈ 70-150 MB at dims 64-128 — the hard
-    * driver budget even at maxCentroids) entirely on the driver. The
-    * sample arrives via the same TakeOrderedAndProject plan, so driver
-    * memory stays O(min(nCentroids · sampleFactor, maxSample) · dim)
-    * regardless of corpus size,
-    * and everything is bit-deterministic: fixed iteration count,
-    * id-ascending sequential summation, argmax-cosine assignment with
-    * the lowest-index tie-break (the same (cos desc, cid asc) rule the
-    * cell-assignment kernel uses). An empty cell keeps its seed
+    * at `maxSample` = 262k rows). The assignment step is DISTRIBUTED:
+    * each iteration broadcasts the K centroids and runs one Spark pass
+    * over the sample — argmax-cosine per row (lowest-index tie-break,
+    * the same (cos desc, cid asc) rule the cell-assignment kernel
+    * uses) into per-partition per-centroid partial sums, reduced by
+    * centroid id — so driver work per iteration is O(K · dim) (collect
+    * K reduced rows, divide), not O(sample · K · dim) as in the
+    * round-4 single-threaded loop (hours at the 100k-centroid cap
+    * while the cluster idled). Partial-sum state per task is bounded
+    * by the partition's row count, never K · dim dense.
+    *
+    * Bit-determinism without an ordered sum: contributions are
+    * accumulated in fixed-point Longs (see [[LloydFixedPoint]]), which
+    * reduce identically under ANY partitioning — pinned by the OpsSpec
+    * repartition-invariance test. Only the K seed rows and the K
+    * reduced sums ever reach the driver. An empty cell keeps its seed
     * vector. Mean centroids track cluster centers instead of arbitrary
     * members, which measurably improves recall at equal K/nprobe on
     * clustered data (pinned in OpsSpec). */
@@ -215,49 +233,88 @@ object Similarity {
                                    iters: Int, sampleFactor: Int = 50,
                                    maxSample: Int = 1 << 18): Array[(Long, Array[Float], Double)] = {
     if (iters <= 0) return selectCentroids(u, nCentroids, seed)
+    val spark = u.sparkSession
+    import spark.implicits._
     val sampleN = math.max(nCentroids.toLong,
       math.min(nCentroids.toLong * sampleFactor, maxSample.toLong)).toInt
-    // ONE collect: the sample is a superset of the would-be init set
-    // under the same md5 ordering, so the K seed members are derived
-    // driver-side (md5 hex is lowercase ASCII — String order here ==
-    // UTF8String order in the Spark sort) instead of a second job
-    val sample = selectCentroids(u, sampleN, seed)
-    if (sample.isEmpty) return sample
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-    def ck(id: Long): String = {
-      md5.reset()
-      md5.digest(s"ivf:$seed:$id".getBytes(UTF_8))
-        .map(b => f"$b%02x").mkString
-    }
-    val init = sample.sortBy { case (id, _, _) => (ck(id), id) }
-      .take(nCentroids).sortBy(_._1)
+    // the bounded sample, materialized ONCE (localCheckpoint) and kept
+    // distributed; limit() collapses to one partition, so spread it
+    // back over the cluster before the per-iteration passes
+    val parallelism = spark.sparkContext.defaultParallelism
+    val sampleDs = u
+      .withColumn("ck", md5(concat(lit(s"ivf:$seed:"), col("id").cast("string"))))
+      .orderBy(col("ck"), col("id"))
+      .limit(sampleN)
+      .repartition(parallelism)
+      .select("id", "v", "nrm", "ck")
+      .localCheckpoint()
+    // K seed members = the sample's first K rows in the SAME md5
+    // order — one K-row collect, not a sample-sized one
+    val init = sampleDs.orderBy(col("ck"), col("id"))
+      .limit(nCentroids)
+      .select("id", "v", "nrm")
+      .as[(Long, Array[Float], Double)]
+      .collect().sortBy(_._1)
+    if (init.isEmpty) return Array.empty
     val kk = init.length
     val dims = init.head._2.length
+    val sample = sampleDs.select("id", "v", "nrm").as[(Long, Array[Float], Double)]
     var cents: Array[Array[Float]] = init.map(_._2)
     var it = 0
     while (it < iters) {
       val cnorms = cents.map { c =>
         val n = math.sqrt(dotF(c, c)); if (n == 0.0) 1.0 else n
       }
-      val sums = Array.ofDim[Double](kk, dims)
-      val counts = new Array[Long](kk)
-      sample.foreach { case (_, v, nrm) =>
-        var bestI = 0
-        var bestCos = Double.NegativeInfinity
-        var i = 0
-        while (i < kk) {
-          val c = dotF(v, cents(i)) / (nrm * cnorms(i))
-          if (c > bestCos) { bestCos = c; bestI = i }
-          i += 1
+      val bc = spark.sparkContext.broadcast((cents, cnorms))
+      // one distributed assignment pass: per-partition partial sums
+      // keyed by centroid (sparse map — state is bounded by partition
+      // rows, not K), then an associative Long reduce per centroid
+      val reduced = sample.mapPartitions { rows =>
+        val (cs, cn) = bc.value
+        val acc = new java.util.HashMap[Integer, (Array[Long], Array[Long])]()
+        rows.foreach { case (_, v, nrm) =>
+          var bestI = 0
+          var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val c = dotF(v, cs(i)) / (nrm * cn(i))
+            if (c > bestCos) { bestCos = c; bestI = i }
+            i += 1
+          }
+          var cell = acc.get(bestI)
+          if (cell == null) {
+            cell = (new Array[Long](1), new Array[Long](dims))
+            acc.put(bestI, cell)
+          }
+          cell._1(0) += 1L
+          var d = 0
+          val nd = math.min(dims, v.length) // ragged input: dotF min-guards, so must the sum
+          while (d < nd) {
+            cell._2(d) += math.rint(v(d).toDouble * LloydFixedPoint).toLong
+            d += 1
+          }
         }
-        counts(bestI) += 1
-        var d = 0
-        val nd = math.min(dims, v.length) // ragged input: dotF min-guards, so must the sum
-        while (d < nd) { sums(bestI)(d) += v(d); d += 1 }
-      }
+        import scala.jdk.CollectionConverters._
+        acc.entrySet().iterator().asScala
+          .map(e => (e.getKey.intValue(), e.getValue._1(0), e.getValue._2))
+      }.groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._3.clone()
+          var d = 0
+          while (d < s.length) { s(d) += b._3(d); d += 1 }
+          (a._1, a._2 + b._2, s)
+        }
+        .map(_._2)
+        .collect() // K rows max — O(K · dim) driver bytes and work
+      bc.destroy()
+      val byCid = reduced.map(r => r._1 -> r).toMap
       cents = Array.tabulate(kk) { i =>
-        if (counts(i) == 0) cents(i)
-        else Array.tabulate(dims)(d => (sums(i)(d) / counts(i)).toFloat)
+        byCid.get(i) match {
+          case Some((_, count, sums)) =>
+            Array.tabulate(dims)(d =>
+              (sums(d).toDouble / LloydFixedPoint / count).toFloat)
+          case None => cents(i) // empty cell keeps its seed
+        }
       }
       it += 1
     }

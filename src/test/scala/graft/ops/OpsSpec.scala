@@ -439,6 +439,62 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("distributed Lloyd: bit-identical centroids under any partitioning") {
+    // the assignment pass reduces FIXED-POINT Long partial sums, which
+    // are associative + commutative — so the refined centroids must be
+    // byte-identical no matter how the sample is partitioned or how
+    // many reducers run. Double summation would fail this test.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 300).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def centsAt(shufflePartitions: String): Seq[(Long, Seq[Float], Double)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+      try {
+        Similarity.refineCentroids(
+          Similarity.withNorms(df, "vec_id", "embedding"), nCentroids = 12,
+          seed = 42L, iters = 2)
+          .toSeq.map { case (id, v, n) => (id, v.toSeq, n) }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val c1 = centsAt("1")
+    val c7 = centsAt("7")
+    val c32 = centsAt("32")
+    assert(c1 == c7, "centroids differ between 1 and 7 shuffle partitions")
+    assert(c7 == c32, "centroids differ between 7 and 32 shuffle partitions")
+  }
+
+  test("distributed Lloyd: assignment runs as Spark jobs, not a driver loop") {
+    // pins the round-5 fix: each Lloyd iteration must launch at least
+    // one Spark job (broadcast assignment + per-centroid reduce); the
+    // round-4 implementation looped over a collected sample on the
+    // driver — O(sample * K * dim) single-threaded — and would run
+    // ZERO jobs between the sample collect and the result.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 200).map(i => (i.toLong, Array.fill(6)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val u = Similarity.withNorms(df, "vec_id", "embedding")
+    // force the one-time sample/init jobs first so the counted window
+    // isolates the per-iteration cost
+    Similarity.refineCentroids(u, nCentroids = 8, seed = 42L, iters = 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.refineCentroids(u, nCentroids = 8, seed = 42L, iters = 3)
+      // listener events are async; onJobStart for the last job has
+      // fired by the time its collect() returned, but give the bus a
+      // moment anyway
+      Thread.sleep(200)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() >= 3, s"expected >= 1 Spark job per Lloyd iteration, saw ${jobs.get()}")
+  }
+
   test("embedding near-dup finds planted perturbed copies, skips the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
