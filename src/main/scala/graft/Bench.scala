@@ -20,6 +20,64 @@ import org.apache.spark.sql.SparkSession
   * silently dropped from the total.
   */
 object Bench {
+
+  /** One timed headline trial with its two raw-CPU calm probes. */
+  private[graft] final case class HeadlineTrial(
+    t: Double, calmBefore: Boolean, calmAfter: Boolean)
+
+  /** Round-5 fix for the spread rule's documented blind spot: two
+    * trials BOTH inflated by a sustained degradation window confirm
+    * each other (r4 shipped 149 s for a 4.7 s job with an empty errors
+    * map, the third round a driver canon figure needed judge
+    * adjudication). The run usually HAS the distinguishing signal and
+    * used to drop it — so an accepted value self-identifies as suspect
+    * when:
+    *  - it exceeds the persisted best-known record
+    *    (BENCH/RECORDS.json) by more than 2x — the cross-run signal
+    *    that adjudicated every past incident; or
+    *  - NO record exists for the headline and any calm probe adjacent
+    *    to the two CONFIRMING trials read not-calm. The probes are
+    *    only the fallback: their best-seen ratchet drifts within a run
+    *    (the documented r4 +27% ALU drift), so a not-calm reading next
+    *    to a near-record value is noise, not signal — flagging on
+    *    probes alone would mark most honest runs and erode the flag.
+    * A flagged value is still reported — the flag tells the reader
+    * which numbers need a calm-window re-run instead of requiring
+    * external adjudication. */
+  private[graft] def degradedWindowConfirmed(trials: Seq[HeadlineTrial],
+                                             accepted: Double,
+                                             record: Option[Double]): Boolean =
+    record match {
+      case Some(r) => accepted > 2.0 * r
+      case None =>
+        trials.sortBy(_.t).take(2)
+          .exists(tr => !tr.calmBefore || !tr.calmAfter)
+    }
+
+  /** Best-known headline minima across ALL past runs — the cross-run
+    * signal the in-run spread rule cannot derive. Flat JSON object
+    * {"headline": seconds}; absent/corrupt file → no record gate. */
+  private[graft] def readRecords(path: String): Map[String, Double] =
+    try {
+      graft.util.MiniJson.parse(
+        new String(Files.readAllBytes(Paths.get(path)), UTF_8)) match {
+        case o: graft.util.MiniJson.JObj =>
+          o.v.collect { case (k, graft.util.MiniJson.JNum(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def writeRecords(path: String, records: Map[String, Double]): Unit =
+    try {
+      val body = records.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}\n")
+      Files.createDirectories(Paths.get(path).getParent)
+      Files.write(Paths.get(path), body.getBytes(UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write records $path: ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -77,13 +135,18 @@ object Bench {
       * are kept as stderr DIAGNOSTICS and a wave-backoff sleep, not
       * as an accept gate: the r4 diagnostic also showed delivered ALU
       * drifting +27% WITHIN a run, which made the best-seen ratchet
-      * reject every later probe and starve the old gate — and a probe
-      * gate adds nothing the spread rule doesn't already cover
-      * (uniform whole-run degradation is invisible to both; that is
-      * what cross-run comparison against BENCH/BASELINE.md is for).
-      * No confirmation after the attempt budget → min of all trials,
-      * flagged "UncalibratedWindow" rather than silently reported. */
-    def calibratedBest(f: => Unit): Trials = {
+      * reject every later probe and starve the old gate. The probes DO
+      * feed the accept path one way (round-5): an accepted value whose
+      * confirming trials had a not-calm adjacent probe, or that sits
+      * >2x above the persisted BENCH/RECORDS.json minimum, carries a
+      * "DegradedWindowConfirmed" flag in the errors map — the r4
+      * artifact (149 s staged, both trials wave-inflated, empty errors)
+      * would have self-identified on both conditions (probes read
+      * true/false + false/false, record was 4.33 s); see
+      * [[Bench.degradedWindowConfirmed]]. No confirmation after the
+      * attempt budget → min of all trials, flagged
+      * "UncalibratedWindow" rather than silently reported. */
+    def calibratedBest(record: Option[Double])(f: => Unit): Trials = {
       val cores = cpus.toInt
       var bestCal = 0.0
       def calm(): Boolean = {
@@ -91,10 +154,10 @@ object Bench {
         bestCal = math.max(bestCal, c)
         c >= bestCal * 0.88
       }
-      var all = List.empty[Double]
+      var all = List.empty[HeadlineTrial]
       var fails = List.empty[String]
       var attempt = 0
-      def confirmedMin: Option[Double] = all.sorted match {
+      def confirmedMin: Option[Double] = all.map(_.t).sorted match {
         case a :: b :: _ if b <= a * 1.3 => Some(a)
         case _ => None
       }
@@ -108,8 +171,8 @@ object Bench {
         val calmBefore = calm()
         try {
           val t = time(f)
-          all ::= t
           val calmAfter = calm()
+          all ::= HeadlineTrial(t, calmBefore, calmAfter)
           if (!(calmBefore && calmAfter)) Thread.sleep(3000) // wave backoff
           System.err.println(
             f"[bench-cal] attempt=$attempt t=$t%.2fs calm=$calmBefore/$calmAfter bestCal=$bestCal%.3e")
@@ -118,9 +181,13 @@ object Bench {
         }
       }
       confirmedMin match {
-        case Some(t) => Trials(Some(t), fails.reverse)
+        case Some(t) =>
+          val flags =
+            if (degradedWindowConfirmed(all, t, record)) List("DegradedWindowConfirmed")
+            else Nil
+          Trials(Some(t), flags ++ fails.reverse)
         case None =>
-          Trials(all.minOption, ("UncalibratedWindow" :: fails).reverse)
+          Trials(all.map(_.t).minOption, ("UncalibratedWindow" :: fails).reverse)
       }
     }
 
@@ -148,20 +215,35 @@ object Bench {
       val cc = graft.pipeline.Kg.connectedComponents(dictNames.toDF("name"), aliases)
       (linked, cc)
     }
-    results("canon_staged_20kgraphs") = calibratedBest {
-      val (linked, cc) = inputs()
-      val triples = graft.pipeline.Kg.dedupTriples(
-        graft.pipeline.Kg.emitTriples(linked, cc))
-      val n = graft.pipeline.Kg.canonicalizeTriples(triples)
-        .filter(_.status == "ok").count()
-      require(n == cfg.nRepos, s"canon bench: $n/${cfg.nRepos} graphs ok")
-    }
-    results("canon_fused_20kgraphs") = calibratedBest {
-      val (linked, cc) = inputs()
-      val n = graft.pipeline.Kg.canonicalizeFromMentions(linked, cc)
-        .filter(_.status == "ok").count()
-      require(n == cfg.nRepos, s"canon bench: $n/${cfg.nRepos} graphs ok")
-    }
+    val recordsPath = sys.env.getOrElse(
+      "SPARK_GRAFT_RECORDS", "/root/repo/BENCH/RECORDS.json")
+    val records = readRecords(recordsPath)
+    results("canon_staged_20kgraphs") =
+      calibratedBest(records.get("canon_staged_20kgraphs")) {
+        val (linked, cc) = inputs()
+        val triples = graft.pipeline.Kg.dedupTriples(
+          graft.pipeline.Kg.emitTriples(linked, cc))
+        val n = graft.pipeline.Kg.canonicalizeTriples(triples)
+          .filter(_.status == "ok").count()
+        require(n == cfg.nRepos, s"canon bench: $n/${cfg.nRepos} graphs ok")
+      }
+    results("canon_fused_20kgraphs") =
+      calibratedBest(records.get("canon_fused_20kgraphs")) {
+        val (linked, cc) = inputs()
+        val n = graft.pipeline.Kg.canonicalizeFromMentions(linked, cc)
+          .filter(_.status == "ok").count()
+        require(n == cfg.nRepos, s"canon bench: $n/${cfg.nRepos} graphs ok")
+      }
+    // ratchet the persisted records DOWN on clean (unflagged) minima —
+    // the cross-run memory the next run's >2x gate compares against
+    val cleanUpdates = Seq("canon_staged_20kgraphs", "canon_fused_20kgraphs")
+      .flatMap { k =>
+        results.get(k).collect {
+          case tr if tr.min.isDefined && tr.failures.isEmpty &&
+            records.get(k).forall(tr.min.get < _) => k -> tr.min.get
+        }
+      }
+    if (cleanUpdates.nonEmpty) writeRecords(recordsPath, records ++ cleanUpdates)
 
     val ok = results.collect { case (k, t) if t.min.isDefined => k -> t.min.get }
     // errors carries EVERY failed trial: "ExceptionClass" when all
