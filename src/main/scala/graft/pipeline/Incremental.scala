@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Incremental per-repo recanonicalization — the operational story at
   * 100 TB: a daily snapshot changes a sliver of repositories, so the
@@ -45,6 +45,59 @@ object Incremental {
   def fingerprints(files: Dataset[FileRow]): DataFrame =
     files.toDF().groupBy("repo")
       .agg(expr("bit_xor(xxhash64(path, content_sha))").as("fingerprint"))
+
+  /** Partition column for the bucketed corpus layout. */
+  val RepoBucketCol = "repo_bucket"
+
+  /** Deterministic repo → bucket assignment (hash, not identity: at
+    * 10^9 repos a per-repo partition would melt the metastore; a few
+    * hundred buckets keep partition counts sane while still letting
+    * an increment skip ~(1 - changedBuckets/nBuckets) of the bytes). */
+  def repoBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("repo")), lit(nBuckets.toLong)).cast("int")
+
+  /** Write the corpus partitioned by repo bucket — the layout that
+    * turns [[run]]'s deployment note into reality: the changed-repo
+    * filter becomes a PARTITION filter, so unchanged buckets are never
+    * read from storage (see [[prunedChangedFiles]]). One task per
+    * bucket keeps one file per partition directory. */
+  def writeBucketed(files: Dataset[FileRow], path: String,
+                    nBuckets: Int = 64): Unit =
+    files.toDF()
+      .withColumn(RepoBucketCol, repoBucket(nBuckets))
+      .repartition(col(RepoBucketCol))
+      .write.partitionBy(RepoBucketCol).mode("overwrite").parquet(path)
+
+  /** The bucketed corpus back as FileRow (bucket column dropped; it is
+    * derivable from repo and only exists for partition pruning). */
+  def readBucketed(spark: SparkSession, path: String): Dataset[FileRow] = {
+    import spark.implicits._
+    spark.read.parquet(path).drop(RepoBucketCol).as[FileRow]
+  }
+
+  /** Changed-repo file read with GUARANTEED partition pruning: the
+    * distinct changed buckets (at most nBuckets small ints — one tiny
+    * job over the changed-repo list) become a STATIC `isin` filter on
+    * the partition column, which Spark turns into PartitionFilters on
+    * the scan — unchanged buckets are never listed, opened, or
+    * fetched. Static beats dynamic partition pruning here: DPP is a
+    * planner heuristic that can decline; an explicit partition-column
+    * predicate cannot. The row-level changed-repo semi-join still runs
+    * within the surviving buckets. Asserted plan-level in
+    * IncrementalSpec. */
+  def prunedChangedFiles(bucketed: DataFrame, changedRepos: DataFrame,
+                         nBuckets: Int): Dataset[FileRow] = {
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    val buckets = changedRepos
+      .select(repoBucket(nBuckets).as("b")).distinct()
+      .as[Int].collect().sorted
+    bucketed
+      .where(col(RepoBucketCol).isin(buckets.map(Int.box): _*))
+      .join(broadcast(changedRepos.select("repo")), Seq("repo"), "left_semi")
+      .drop(RepoBucketCol)
+      .as[FileRow]
+  }
 
   /** Order-insensitive fingerprint of the canonical entity map. */
   def canonMapFingerprint(canonMap: DataFrame): Long = {
@@ -139,9 +192,20 @@ object Incremental {
   def run(files: Dataset[FileRow], dictNames: Seq[String],
           prev: Option[(Long, DataFrame)],
           opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default,
-          prevAliases: Option[DataFrame] = None): Increment = {
+          prevAliases: Option[DataFrame] = None,
+          changedFilesReader: Option[DataFrame => Dataset[FileRow]] = None): Increment = {
     val spark = files.sparkSession
     import spark.implicits._
+    // changed-repo content reads go through the bucket-pruned reader
+    // when the corpus layout supports it, else a row-level semi-join
+    // (which scans but drops unchanged repos' rows — the deployment
+    // note below)
+    def filesOf(changedRepos: DataFrame): Dataset[FileRow] =
+      changedFilesReader match {
+        case Some(reader) => reader(changedRepos)
+        case None => files.toDF()
+          .join(broadcast(changedRepos), Seq("repo"), "left_semi").as[FileRow]
+      }
     val dictBc = spark.sparkContext.broadcast(dictNames.toSet)
     val dictDf = dictNames.toDF("name")
 
@@ -166,22 +230,32 @@ object Incremental {
     // alias edges: dictionary-scale, consumed by the CC probes/collect
     // (several jobs) and returned as carried state — materialized once
     // so the content scan (or the carry joins) never re-executes
-    // Repo-NAME lists are broadcast-hinted wherever they gate a
-    // corpus-side semi-join: a name list is orders of magnitude
-    // smaller than the content rows it filters at ANY corpus scale,
-    // but the planner cannot see that through a localCheckpoint
-    // boundary and falls back to a sort-merge join that shuffles the
-    // whole content column — measured at 2000 padded repos (~550 MB
-    // content) as a 22 s increment vs 3.5 s with the hint.
+    // CHANGED-repo lists are broadcast-hinted wherever they gate a
+    // corpus-side semi-join: the changed sliver is orders of magnitude
+    // smaller than the content rows it filters, but the planner cannot
+    // see that through a localCheckpoint boundary and falls back to a
+    // sort-merge join that shuffles the whole content column —
+    // measured at 2000 padded repos (~550 MB content) as a 22 s
+    // increment vs 3.5 s with the hint. The FULL repo list (fps) is
+    // deliberately NOT hinted: one row per repo is unbounded at the
+    // 100 TB posture (10^9+ repos would blow the driver and Spark's
+    // hard broadcast limits), and the joins it gates are
+    // narrow-row-to-narrow-row (alias edges / state rows vs repo
+    // names) where a shuffled join is the correct plan at scale.
+    // on the carry path the alias scan and the mention scan below both
+    // read exactly the fingerprint-changed repos' content: materialize
+    // that sliver ONCE (eager localCheckpoint, O(changed) rows) so the
+    // storage read — pruned or not — happens a single time
+    var sharedChangedFiles: Option[Dataset[FileRow]] = None
     val aliases: DataFrame = ((prev, prevAliases) match {
       case (Some(_), Some(prevA)) =>
         val changedRepos = changedByFp.select("repo")
-        val changedFilesA = files.toDF()
-          .join(broadcast(changedRepos), Seq("repo"), "left_semi").as[FileRow]
+        val changedContent = filesOf(changedRepos).localCheckpoint()
+        sharedChangedFiles = Some(changedContent)
         prevA
           .join(broadcast(changedRepos), Seq("repo"), "left_anti") // stale edges of changed repos
-          .join(broadcast(fps.select("repo")), Seq("repo"), "left_semi") // deleted repos drop
-          .unionByName(aliasEdgesByRepo(changedFilesA))
+          .join(fps.select("repo"), Seq("repo"), "left_semi") // deleted repos drop
+          .unionByName(aliasEdgesByRepo(changedContent))
       case _ => aliasEdgesByRepo(files)
     }).localCheckpoint()
     val cc = Kg.connectedComponents(dictDf,
@@ -199,16 +273,14 @@ object Incremental {
     // EVERYTHING is fresh (bootstrap / entity-map move: `changed` is
     // the fps reference itself) the semi-join is a no-op — skip it
     // rather than broadcast the full repo list for nothing.
-    // Deployment note: this filter prunes ROWS after the scan; to
-    // avoid READING unchanged content bytes at all, store the corpus
-    // partitioned by repo bucket — the broadcast semi-join on the
-    // partitioning column then triggers dynamic partition pruning and
-    // unchanged partitions are never fetched from storage.
+    // Without a bucketed layout this filter prunes ROWS after the
+    // scan; [[runBucketed]] supplies a changedFilesReader that prunes
+    // PARTITIONS, so unchanged buckets are never read at all.
+    // when the entity map held steady, `changed` IS changedByFp — the
+    // sliver already materialized for the alias scan; reuse it
     val changedFiles =
       if (changed eq fps) files
-      else files.toDF()
-        .join(broadcast(changed.select("repo")), Seq("repo"), "left_semi")
-        .as[FileRow]
+      else sharedChangedFiles.getOrElse(filesOf(changed.select("repo")))
     val linked = Kg.linkMentions(Kg.detectMentions(changedFiles, dictBc), dictDf)
     val freshFull = Kg.canonicalizeFromMentions(linked, cc, opts).toDF()
       .withColumnRenamed("key", "repo")
@@ -224,7 +296,9 @@ object Incremental {
       case Some((prevCcFp, prevState)) if prevCcFp == ccFp =>
         prevState
           .join(broadcast(changed.select("repo")), Seq("repo"), "left_anti")
-          .join(broadcast(fps.select("repo")), Seq("repo"), "left_semi") // drop deleted repos
+          // full repo list: NOT broadcast (unbounded at scale — see
+          // the aliases note); narrow state rows vs narrow names
+          .join(fps.select("repo"), Seq("repo"), "left_semi") // drop deleted repos
           .select(StateCols.map(col): _*)
       case _ =>
         spark.emptyDataFrame.limit(0)
@@ -234,5 +308,24 @@ object Incremental {
     }
 
     Increment(ccFp, fresh, reused, newDocs, aliases)
+  }
+
+  /** [[run]] over a corpus written with [[writeBucketed]]: identical
+    * semantics and output (pinned by IncrementalSpec), but every
+    * changed-repo CONTENT read carries a static partition filter on
+    * the bucket column, so an increment's input bytes scale with the
+    * changed sliver's buckets instead of the corpus. The two remaining
+    * corpus-wide passes (per-repo fingerprints, bootstrap alias scan)
+    * are columnar: they read (repo, path, content_sha) — never the
+    * content column — and parquet column pruning keeps them cheap. */
+  def runBucketed(spark: SparkSession, corpusPath: String,
+                  dictNames: Seq[String],
+                  prev: Option[(Long, DataFrame)],
+                  opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default,
+                  prevAliases: Option[DataFrame] = None,
+                  nBuckets: Int = 64): Increment = {
+    val bucketed = spark.read.parquet(corpusPath)
+    run(readBucketed(spark, corpusPath), dictNames, prev, opts, prevAliases,
+      changedFilesReader = Some(prunedChangedFiles(bucketed, _, nBuckets)))
   }
 }

@@ -196,4 +196,69 @@ class IncrementalSpec extends AnyFunSuite {
     assert(resolved.where(col("canonicalNQuads").isNull).count() == 0)
     state0.unpersist(); docs0.unpersist(); store.unpersist(); vacuumed.unpersist()
   }
+
+  test("bucketed increment == plain increment, and PRUNES unchanged partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val nBuckets = 8
+    val dir = java.nio.file.Files.createTempDirectory("bucketed-corpus")
+    val pathA = dir.resolve("snapA").toString
+    val pathB = dir.resolve("snapB").toString
+
+    val filesA = Corpus.generate(spark, cfg)
+    Incremental.writeBucketed(filesA, pathA, nBuckets)
+    // one file per bucket directory (repartition on the bucket column)
+    val bucketDirs = new java.io.File(pathA).listFiles()
+      .filter(_.getName.startsWith(s"${Incremental.RepoBucketCol}=")).toSeq
+    assert(bucketDirs.nonEmpty && bucketDirs.size <= nBuckets)
+
+    val inc0 = Incremental.runBucketed(spark, pathA, dictNames, None,
+      nBuckets = nBuckets)
+    val state0 = inc0.state.cache()
+    val repos0 = state0.select("repo").collect().map(_.getString(0)).toSet
+
+    val changedRepos = repos0.toSeq.sorted.take(2).toSet
+    Incremental.writeBucketed(mutate(filesA, changedRepos), pathB, nBuckets)
+
+    // plan-level: the changed-file read must carry PartitionFilters
+    // and touch fewer files than the full corpus
+    import spark.implicits._
+    val changedDf = changedRepos.toSeq.toDF("repo")
+    val pruned = Incremental.prunedChangedFiles(
+      spark.read.parquet(pathB), changedDf, nBuckets)
+    pruned.toDF().count() // materialize: AQE finalizes the plan, metrics fill
+    val finalPlan = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = finalPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"no parquet scan in the pruned plan:\n$finalPlan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"changed-file scan has no partition filters: ${scan.partitionFilters}")
+    val changedBuckets = changedDf
+      .select(Incremental.repoBucket(nBuckets)).distinct().count()
+    // selectedPartitions applies the static partition filters at file
+    // listing — the authoritative count of bucket dirs actually read
+    val partsRead = scan.selectedPartitions.partitionCount
+    assert(partsRead == changedBuckets,
+      s"pruned scan reads $partsRead bucket partitions, expected " +
+        s"$changedBuckets (of ${bucketDirs.size})")
+    assert(partsRead < bucketDirs.size,
+      "pruning read every bucket — no partitions were skipped")
+
+    // end-to-end: the bucketed increment's state equals the plain one
+    val incPlain = Incremental.run(
+      Incremental.readBucketed(spark, pathB), dictNames,
+      Some((inc0.ccFingerprint, state0)))
+    val incBucketed = Incremental.runBucketed(spark, pathB, dictNames,
+      Some((inc0.ccFingerprint, state0)), nBuckets = nBuckets)
+    assert(incBucketed.fresh.select("repo").collect().map(_.getString(0)).toSet
+      == changedRepos)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(incBucketed.state) == rows(incPlain.state))
+    assert(rows(incBucketed.newDocs) == rows(incPlain.newDocs))
+    state0.unpersist()
+  }
 }
