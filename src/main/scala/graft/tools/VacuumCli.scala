@@ -21,6 +21,19 @@ object VacuumCli {
       sys.exit(2)
     }
     val Array(storeDir, stateDir, outDir) = args.take(3)
+    // in-place vacuum guard: mode("overwrite") DELETES the target
+    // before the lazy read of the same path ever executes, so
+    // outDir == storeDir would destroy the store instead of
+    // compacting it (and outDir == stateDir would eat the state)
+    val outPath = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    Seq("store" -> storeDir, "state" -> stateDir).foreach { case (what, dir) =>
+      if (java.nio.file.Paths.get(dir).toAbsolutePath.normalize == outPath) {
+        System.err.println(
+          s"refusing in-place vacuum: <outDir> equals the $what dir '$dir' — " +
+            "write to a fresh directory and swap afterwards")
+        sys.exit(2)
+      }
+    }
     val cores = args.sliding(2)
       .collectFirst { case Array("--cores", v) => v.toInt }.getOrElse(8)
     val spark = CanonEngine.session(s"local[$cores]", shufflePartitions = cores)

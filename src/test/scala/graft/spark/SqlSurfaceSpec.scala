@@ -130,9 +130,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.Literal("x")))
     val quads = graft.rdf.NQuadsParser.parseDocument(fixture("test060-in.nq"))
     val buf = agg.createAggregationBuffer()
-    quads.foreach(buf += _)
+    quads.foreach(buf.quads += _)
+    buf.nullKindRows = 3L
     val back = agg.deserialize(agg.serialize(buf))
-    assert(back.toVector == buf.toVector)
+    assert(back.quads.toVector == buf.quads.toVector)
+    assert(back.nullKindRows == 3L, "poison count must survive the codec")
+  }
+
+  test("SQL aggregate codec rejects unknown buffer format versions loudly") {
+    val agg = Rdfc10CanonDataset((0 until 9).map(_ =>
+      org.apache.spark.sql.catalyst.expressions.Literal("x")))
+    // both pre-v2 codecs began with writeInt(size) — first byte 0 for
+    // any realistic size — so a v0/v1 streaming checkpoint fails with
+    // the discard-and-rebuild message instead of deserializing garbage
+    val preV2 = Array[Byte](0, 0, 0, 5, 1, 2, 3)
+    val e = intercept[IllegalStateException](agg.deserialize(preV2))
+    assert(e.getMessage.contains("discarded"))
   }
 
   test("SQL aggregate is byte-exact on the escaping torture fixture (test060)") {
@@ -168,8 +181,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val agg = Rdfc10CanonDataset((0 until 9).map(_ =>
       org.apache.spark.sql.catalyst.expressions.Literal("x")))
     val buf = agg.createAggregationBuffer()
-    quads.foreach(buf += _)
-    assert(agg.deserialize(agg.serialize(buf)).toVector == quads)
+    quads.foreach(buf.quads += _)
+    assert(agg.deserialize(agg.serialize(buf)).quads.toVector == quads)
     // end-to-end SQL path with forced partial merges
     spark.createDataset(quads).repartition(2).toDF()
       .createOrReplaceTempView("bigquads")
@@ -182,12 +195,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.canon.Rdfc10.canonicalize(quads, graft.canon.CanonOptions.default))
   }
 
-  test("SQL aggregate skips rows with NULL kind columns (aggregate null semantics)") {
+  test("SQL aggregate: a NULL kind row POISONS the group (error status, loud)") {
     import spark.implicits._
     val quads = graft.rdf.NQuadsParser.parseDocument(fixture("test020-in.nq"))
     quads.toDF().createOrReplaceTempView("q20clean")
-    // a NULL oKind row (e.g. from an outer join) must be skipped, not
-    // NPE the task — the clean fixture's output must be unchanged
+    // round-4 silently SKIPPED null-kind rows, so an upstream bug (an
+    // unintended outer-join null) surfaced as different canonical
+    // bytes with no signal; the contract is "data errors become error
+    // STATUS rows" — the group errors, the query survives
     val out = spark.sql(
       """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
         |FROM (SELECT * FROM q20clean
@@ -195,10 +210,74 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |      SELECT CAST(0 AS TINYINT), 'http://x/s', 'http://x/p',
         |             CAST(NULL AS TINYINT), 'dangling', '', '',
         |             CAST(3 AS TINYINT), '')""".stripMargin)
-      .selectExpr("r.status", "r.canonicalNQuads", "r.quadCount").collect().head
-    assert(out.getString(0) == "ok")
-    assert(out.getString(1) == fixture("test020-rdfc10.nq"))
-    assert(out.getLong(2) == quads.size)
+      .selectExpr("r.status", "r.canonicalNQuads").collect().head
+    assert(out.getString(0) == "NullKindInput(1)")
+    assert(out.getString(1) == "")
+    // a clean group in the same query is unaffected
+    val clean = spark.sql(
+      """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM q20clean""".stripMargin)
+      .selectExpr("r.status", "r.canonicalNQuads").collect().head
+    assert(clean.getString(0) == "ok")
+    assert(clean.getString(1) == fixture("test020-rdfc10.nq"))
+  }
+
+  test("SQL option parity: SHA-384 and HNDQ limits from pure SQL") {
+    import spark.implicits._
+    Seq(fixture("test075-in.nq")).toDF("doc").createOrReplaceTempView("docs75")
+    // SHA-384 hash algorithm as a literal option — byte-equal to the
+    // W3C sha384 golden (round-4 hard-coded CanonOptions.default)
+    val sha384 = spark.sql(
+      "SELECT rdfc10_canonicalize(doc, 'SHA-384') FROM docs75")
+      .collect().head.getString(0)
+    assert(sha384 == fixture("test075-rdfc10.nq"))
+    assert(sha384 != spark.sql("SELECT rdfc10_canonicalize(doc) FROM docs75")
+      .collect().head.getString(0))
+    // custom HNDQ budget: test044 computes at the default budget but
+    // exceeds a limit of 1 — NULL from canonicalize, named status
+    Seq(fixture("test044-in.nq")).toDF("doc").createOrReplaceTempView("docs44")
+    val rows = spark.sql(
+      """SELECT rdfc10_canonicalize(doc) IS NULL AS ok_null,
+        |       rdfc10_canonicalize(doc, 1) IS NULL AS limited_null,
+        |       rdfc10_status(doc, 1) AS limited_status
+        |FROM docs44""".stripMargin).collect().head
+    assert(!rows.getBoolean(0), "test044 must compute at the default budget")
+    assert(rows.getBoolean(1), "an HNDQ limit of 1 must poison test044")
+    assert(rows.getString(2) == "HndqCallLimitExceeded(1)")
+    // unknown algorithm / non-literal options fail fast at build
+    val err = intercept[Exception](
+      spark.sql("SELECT rdfc10_canonicalize(doc, 'MD5') FROM docs75").collect())
+    assert(err.getMessage.contains("unknown hash algorithm")
+      || err.getCause != null && err.getCause.getMessage.contains("unknown hash algorithm"))
+  }
+
+  test("rdfc10_status distinguishes parse failure from poison from ok") {
+    import spark.implicits._
+    Seq(("ok", fixture("test020-in.nq")),
+      ("poison", fixture("test074-in.nq")),
+      ("garbage", "not n-quads at all"))
+      .toDF("kind", "doc").createOrReplaceTempView("statusdocs")
+    val m = spark.sql("SELECT kind, rdfc10_status(doc) FROM statusdocs")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("ok") == "ok")
+    assert(m("poison") == "HndqCallLimitExceeded(4000)")
+    assert(m("garbage").startsWith("parse_error"), m("garbage"))
+  }
+
+  test("SQL aggregate accepts a trailing HNDQ-limit literal (6/10-arg forms)") {
+    import spark.implicits._
+    val quads = graft.rdf.NQuadsParser.parseDocument(fixture("test044-in.nq"))
+    quads.toDF().createOrReplaceTempView("q44")
+    val limited = spark.sql(
+      """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g, 1) AS r
+        |FROM q44""".stripMargin)
+      .selectExpr("r.status").collect().head.getString(0)
+    assert(limited == "HndqCallLimitExceeded(1)")
+    val ok = spark.sql(
+      """SELECT rdfc10_canon_dataset(sKind, s, p, oKind, o, oDt, oLang, gKind, g) AS r
+        |FROM q44""".stripMargin)
+      .selectExpr("r.status").collect().head.getString(0)
+    assert(ok == "ok")
   }
 
   test("SQL aggregate canonicalizes a STREAMING groupBy with graphs split across batches") {
@@ -246,7 +325,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // the injection list covers all names (the shared-session tests
     // above already prove the builders work end to end).
     val names = GraftFunctions.functions.map(_._1.funcName).toSet
-    assert(names == Set("rdfc10_canonicalize", "rdfc10_issue", "rdfc10_canon_dataset"))
+    assert(names == Set("rdfc10_canonicalize", "rdfc10_issue", "rdfc10_status",
+      "rdfc10_canon_dataset"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 }
