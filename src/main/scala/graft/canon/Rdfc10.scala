@@ -101,7 +101,54 @@ final class IdentifierIssuer(val prefix: String) {
   */
 object Rdfc10 {
 
-  private def newDigest(alg: String) = MessageDigest.getInstance(alg)
+  /** Digest instances reused per thread (one State per graph, graphs
+    * run single-threaded): `MessageDigest.getInstance` is a provider
+    * lookup + allocation per call, and the bench canonicalizes tens of
+    * thousands of graphs per task. */
+  private val digestCache = new ThreadLocal[mutable.HashMap[String, MessageDigest]] {
+    override def initialValue(): mutable.HashMap[String, MessageDigest] =
+      mutable.HashMap.empty
+  }
+  private def newDigest(alg: String) =
+    digestCache.get().getOrElseUpdate(alg, MessageDigest.getInstance(alg))
+
+  /** Reusable UTF-8 encode scratch for digest updates (thread-local:
+    * the kernel is single-threaded per graph). REPLACE actions make
+    * the chunked encoding byte-identical to `String.getBytes(UTF_8)`
+    * — including '?' for lone surrogates — without allocating a
+    * byte[] per hashed line/path (the kernel's dominant small-object
+    * churn; the single-box 8->32 scaling ceiling is DRAM bandwidth,
+    * BENCH/BASELINE.md §3). */
+  private final class EncodeScratch {
+    val encoder: java.nio.charset.CharsetEncoder = UTF_8.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val buf: java.nio.ByteBuffer = java.nio.ByteBuffer.allocate(8192)
+  }
+  private val encodeScratch = new ThreadLocal[EncodeScratch] {
+    override def initialValue(): EncodeScratch = new EncodeScratch
+  }
+
+  /** md.update(s as UTF-8) without materializing the byte array. */
+  private[canon] def updateDigest(md: MessageDigest, s: String): Unit = {
+    val sc = encodeScratch.get()
+    val enc = sc.encoder
+    val buf = sc.buf
+    val cb = java.nio.CharBuffer.wrap(s)
+    enc.reset()
+    buf.clear()
+    var cr = enc.encode(cb, buf, true)
+    while (cr.isOverflow) {
+      buf.flip(); md.update(buf); buf.clear()
+      cr = enc.encode(cb, buf, true)
+    }
+    cr = enc.flush(buf)
+    while (cr.isOverflow) {
+      buf.flip(); md.update(buf); buf.clear()
+      cr = enc.flush(buf)
+    }
+    buf.flip(); md.update(buf); buf.clear()
+  }
 
   private val HEXL = "0123456789abcdef".toCharArray
 
@@ -119,7 +166,8 @@ object Rdfc10 {
   /** digest → lowercase hex (reference `src/canon.rs:188-191`). */
   private[canon] def hashHex(md: MessageDigest, data: String): String = {
     md.reset()
-    hexOf(md.digest(data.getBytes(UTF_8)))
+    updateDigest(md, data)
+    hexOf(md.digest())
   }
 
   /** Rust `{:?}` rendering of a list of strings, used by trace lines
@@ -206,11 +254,12 @@ object Rdfc10 {
           lines.foreach(l => log.event(1, "- " + l.stripSuffix("\n")))
         }
         java.util.Arrays.sort(lines, CodePointOrdering)
-        // digest per sorted line — no concatenated copy of the document
+        // digest per sorted line — no concatenated copy of the
+        // document, no byte[] per line (encoder scratch)
         md.reset()
         i = 0
         while (i < lines.length) {
-          md.update(lines(i).getBytes(UTF_8))
+          updateDigest(md, lines(i))
           i += 1
         }
         val h = hexOf(md.digest())
@@ -618,13 +667,21 @@ object Rdfc10 {
 
   /** Flagship entry point: canonical N-Quads document
     * (reference `canonicalize_with`, `src/api.rs:183-190`:
-    * issue → relabel → serialize). */
+    * issue → relabel → serialize — the relabel+serialize pair fused
+    * so no relabeled Quad copies are allocated; byte-identical). */
   def canonicalize(inputQuads: Seq[Quad],
                    opts: CanonOptions = CanonOptions.default,
                    log: TraceLogger = NoopTraceLogger): String = {
     val res = issue(inputQuads, opts, log)
-    NQuadsWriter.serializeDocument(relabel(res.dedupedQuads, res.issuedMap))
+    canonicalDocument(res)
   }
+
+  /** relabel + serialize of an [[issue]] result without materializing
+    * the relabeled quads (same missing-id error as [[relabel]]). */
+  def canonicalDocument(res: IssueResult): String =
+    NQuadsWriter.serializeRelabeled(res.dedupedQuads,
+      label => res.issuedMap.getOrElse(label,
+        throw new CanonicalIdentifierNotExistException))
 
   /** Graph (triples) variant: interpret as default-graph dataset;
     * output is canonical N-Triples (reference `src/api.rs:501-512`). */

@@ -85,9 +85,45 @@ object NQuadsWriter {
       scratch.setLength(0)
       quadBody(q, scratch).append(" .\n").toString
     }.toArray
+    sortConcat(lines)
+  }
+
+  /** [[serializeDocument]] fused with bnode relabeling: each line is
+    * written with `sub`-substituted blank-node ids directly, so the
+    * per-quad Quad COPIES of `Rdfc10.relabel` (up to three `copy()`
+    * allocations per quad) never exist. Byte-identical to
+    * `serializeDocument(relabel(quads, issued))` — the canonical
+    * document of every graph flows through here, and the kernel is
+    * allocation-bound at high core counts (BENCH/BASELINE.md §3). */
+  def serializeRelabeled(quads: Iterable[Quad], sub: String => String): String = {
+    val scratch = new StringBuilder(96)
+    val lines = quads.iterator.map { q =>
+      scratch.setLength(0)
+      if (q.sKind == TermKind.BNode) scratch.append("_:").append(sub(q.s))
+      else writeTerm(q.sKind, q.s, "", "", scratch)
+      scratch.append(' ')
+      writeTerm(TermKind.Iri, q.p, "", "", scratch)
+      scratch.append(' ')
+      if (q.oKind == TermKind.BNode) scratch.append("_:").append(sub(q.o))
+      else writeTerm(q.oKind, q.o, q.oDt, q.oLang, scratch)
+      if (q.gKind != TermKind.DefaultGraph) {
+        scratch.append(' ')
+        if (q.gKind == TermKind.BNode) scratch.append("_:").append(sub(q.g))
+        else writeTerm(q.gKind, q.g, "", "", scratch)
+      }
+      scratch.append(" .\n").toString
+    }.toArray
+    sortConcat(lines)
+  }
+
+  private def sortConcat(lines: Array[String]): String = {
     java.util.Arrays.sort(lines, CodePointOrdering)
-    val sb = new StringBuilder(lines.length * 64)
-    lines.foreach(sb.append)
+    var len = 0
+    var i = 0
+    while (i < lines.length) { len += lines(i).length; i += 1 }
+    val sb = new java.lang.StringBuilder(len) // exact-size, no growth copies
+    i = 0
+    while (i < lines.length) { sb.append(lines(i)); i += 1 }
     sb.toString
   }
 }

@@ -61,9 +61,18 @@ object CanonEngine {
 
   private val HEXL = "0123456789abcdef".toCharArray
 
+  /** SHA-256 instance reused per thread: the engine hashes one
+    * document per graph and `getInstance` is a provider lookup +
+    * allocation per call. */
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
   def sha256Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = sha256Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val out = new Array[Char](d.length * 2)
     var i = 0
     while (i < d.length) {
@@ -93,8 +102,7 @@ object CanonEngine {
     try {
       val res = Rdfc10.issue(quads, opts,
         graft.canon.NoopTraceLogger, assumeDistinct)
-      val doc = graft.rdf.NQuadsWriter.serializeDocument(
-        Rdfc10.relabel(res.dedupedQuads, res.issuedMap))
+      val doc = Rdfc10.canonicalDocument(res) // fused relabel+serialize
       CanonResult(key, doc, mapToJson(res.issuedMap), "ok", res.hndqCalls,
         res.dedupedQuads.size, res.issuedMap.size, sha256Hex(doc))
     } catch {
