@@ -72,13 +72,18 @@ object Bench {
       val body = records.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}\n")
-      Files.createDirectories(Paths.get(path).getParent)
+      val parent = Paths.get(path).getParent // null for a bare filename
+      if (parent != null) Files.createDirectories(parent)
       Files.write(Paths.get(path), body.getBytes(UTF_8))
-    } catch { case e: java.io.IOException =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write records $path: ${e.getMessage}")
     }
 
   def main(args: Array[String]): Unit = {
+    // the JSON artifact is built with f"%.3f" interpolations — pin the
+    // locale so a comma-decimal default can never corrupt it (a broken
+    // RECORDS.json would silently disable the degraded-window gate)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt

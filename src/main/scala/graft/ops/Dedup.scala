@@ -145,12 +145,15 @@ object Dedup {
   }
 
   /** Bytes-per-document divisor for the size-based plan gate below:
-    * deliberately LOW (the sf0.1 documents table measures ~119
-    * compressed bytes/doc), so an unknown/overstated size estimate
-    * overestimates the doc count and errs toward the prefix plan —
-    * the plan that stays subquadratic at scale. Wrong in the other
-    * direction it merely costs the ~1.5 s prefix constant. */
-  private val EstBytesPerDoc = 128L
+    * deliberately BELOW the measured density (the sf0.1 documents
+    * table measures ~119 compressed bytes/doc), so the derived doc
+    * count OVERestimates and errs toward the prefix plan — the plan
+    * that stays subquadratic at scale. Erring the other way (a
+    * too-large divisor undercounting docs, full plan past the
+    * threshold) re-opens the superlinear regime the sf1 bench
+    * measured at 88 s vs 16 s; erring this way merely costs the
+    * ~1.5 s prefix constant. */
+  private val EstBytesPerDoc = 64L
 
   /** Estimated document count WITHOUT running a count() job: caller
     * hint if given, else Catalyst's row-count statistic when known
@@ -222,7 +225,11 @@ object Dedup {
     val usePrefix = prefixMinDocs == 0 ||
       (prefixMinDocs != Int.MaxValue &&
         estimatedDocs(docs, numDocsHint) >= prefixMinDocs)
-    val inverted = invertedPostings(sh)
+    // three consumers (df count, prefix/full postings, over-df star)
+    // re-explode the shingle arrays by default; -Dgraft.ops.cache=true
+    // persists one copy instead (recompute measured FASTER at sf1 —
+    // the round-3 negative result — so caching stays opt-in)
+    val inverted = invertedPostings(sh).transform(maybePersist)
     // FULL per-shingle document frequency — the single df table both
     // the plan gate's rare/over split and the prefix order use
     val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -314,10 +314,13 @@ object Incremental {
     * semantics and output (pinned by IncrementalSpec), but every
     * changed-repo CONTENT read carries a static partition filter on
     * the bucket column, so an increment's input bytes scale with the
-    * changed sliver's buckets instead of the corpus. The two remaining
-    * corpus-wide passes (per-repo fingerprints, bootstrap alias scan)
-    * are columnar: they read (repo, path, content_sha) — never the
-    * content column — and parquet column pruning keeps them cheap. */
+    * changed sliver's buckets instead of the corpus. The one remaining
+    * corpus-wide pass (per-repo fingerprints) is columnar — it reads
+    * (repo, path, content_sha), never content, and parquet column
+    * pruning keeps it cheap. The alias scan reads content only for
+    * the changed sliver once carried edges exist (`prevAliases`); the
+    * FIRST increment has no carry and necessarily scans all content
+    * once to discover alias edges. */
   def runBucketed(spark: SparkSession, corpusPath: String,
                   dictNames: Seq[String],
                   prev: Option[(Long, DataFrame)],

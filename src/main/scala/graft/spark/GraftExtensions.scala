@@ -30,13 +30,21 @@ private[spark] object ScalarCanonOptions {
     require(extra.length <= 2,
       s"$name takes at most 3 arguments: (doc[, hashAlg][, hndqLimit])")
     var o = CanonOptions.default
+    var sawAlg = false
+    var sawLimit = false
     extra.foreach {
       case Literal(s: UTF8String, StringType) =>
         val alg = s.toString
+        require(!sawAlg,
+          s"$name: duplicate hash-algorithm option ('${o.hashAlgorithm}' then '$alg')")
+        sawAlg = true
         require(HashAlgorithms.contains(alg),
           s"$name: unknown hash algorithm '$alg' (expected ${HashAlgorithms.mkString(" | ")})")
         o = o.copy(hashAlgorithm = alg)
       case Literal(i: Int, IntegerType) =>
+        require(!sawLimit,
+          s"$name: duplicate HNDQ call limit option (${o.hndqCallLimit} then $i)")
+        sawLimit = true
         require(i > 0, s"$name: HNDQ call limit must be positive, got $i")
         o = o.copy(hndqCallLimit = i)
       case e => throw new IllegalArgumentException(
@@ -345,6 +353,10 @@ object Rdfc10CanonDataset {
     val (args, limit) = args0.lastOption match {
       case Some(Literal(i: Int, IntegerType))
           if args0.length == 6 || args0.length == 10 =>
+        // same analysis-time validation as the scalar functions: a
+        // non-positive budget would poison every non-trivial group
+        require(i > 0,
+          s"rdfc10_canon_dataset: HNDQ call limit must be positive, got $i")
         (args0.init, i)
       case _ => (args0, CanonOptions.default.hndqCallLimit)
     }

@@ -30,6 +30,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object IncrementalBench {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // locale-safe f"%.3f" JSON
     def pos(i: Int, dflt: Int): Int =
       args.lift(i).filterNot(_.startsWith("--")).map(_.toInt).getOrElse(dflt)
     val nRepos = pos(0, 20000)

@@ -50,6 +50,7 @@ object KernelBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // locale-safe f"%.3f" JSON
     val threads = args.lift(0).map(_.toInt).getOrElse(8)
     val nGraphs = args.lift(1).map(_.toInt).getOrElse(20000)
     val nb = args.lift(2).map(_.toInt).getOrElse(4)

@@ -13,6 +13,7 @@ import graft.spark.CanonEngine
   */
 object PipelineCli {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // locale-safe f"%.3f" JSON
     if (args.isEmpty) { System.err.println("usage: PipelineCli <workDir> [--repos N] [--files N] [--entities N] [--cores N]"); sys.exit(2) }
     val workDir = args(0)
     def opt(name: String, dflt: Int): Int =

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryBench {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // locale-safe f"%.3f" JSON
     val sfDir = args.lift(0).getOrElse("/tmp/graft_sf1")
     val names = args.lift(1)
       .getOrElse("q21_ngram_jaccard,q34_ivf_auto").split(",").toSeq

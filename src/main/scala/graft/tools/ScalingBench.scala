@@ -187,6 +187,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // locale-safe f"%.3f" JSON
     if (args.headOption.contains("--single")) {
       val Array(_, cores, repos, files, mpf) = args
       single(cores.toInt, graft.pipeline.Corpus.Config(

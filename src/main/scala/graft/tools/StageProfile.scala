@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   * Usage: StageProfile <cores> <repos> <files> <mpf> */
 object StageProfile {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // locale-safe f"%.3f" JSON
     val Array(cores, repos, files, mpf) = args.map(_.toInt)
     val cfg = graft.pipeline.Corpus.Config(
       nRepos = repos, baseFilesPerRepo = files, mentionsPerFile = mpf)

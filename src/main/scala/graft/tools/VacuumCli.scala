@@ -25,9 +25,17 @@ object VacuumCli {
     // before the lazy read of the same path ever executes, so
     // outDir == storeDir would destroy the store instead of
     // compacting it (and outDir == stateDir would eat the state)
-    val outPath = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    // toRealPath resolves symlinks (a symlinked alias of the store
+    // must not slip past the guard); fall back to the normalized
+    // absolute path for targets that do not exist yet
+    def canonical(p: String): java.nio.file.Path = {
+      val abs = java.nio.file.Paths.get(p).toAbsolutePath
+      try abs.toRealPath()
+      catch { case _: java.io.IOException => abs.normalize }
+    }
+    val outPath = canonical(outDir)
     Seq("store" -> storeDir, "state" -> stateDir).foreach { case (what, dir) =>
-      if (java.nio.file.Paths.get(dir).toAbsolutePath.normalize == outPath) {
+      if (canonical(dir) == outPath) {
         System.err.println(
           s"refusing in-place vacuum: <outDir> equals the $what dir '$dir' — " +
             "write to a fresh directory and swap afterwards")

@@ -249,6 +249,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
       spark.sql("SELECT rdfc10_canonicalize(doc, 'MD5') FROM docs75").collect())
     assert(err.getMessage.contains("unknown hash algorithm")
       || err.getCause != null && err.getCause.getMessage.contains("unknown hash algorithm"))
+    // duplicate same-type options must be rejected, not silently
+    // last-one-wins (a conflicting-arguments typo would otherwise
+    // produce wrong hashes with no error)
+    def failsWith(sql: String, msg: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(msg)
+        || e.getCause != null && e.getCause.getMessage.contains(msg), sql)
+    }
+    failsWith("SELECT rdfc10_canonicalize(doc, 'SHA-256', 'SHA-384') FROM docs75",
+      "duplicate hash-algorithm")
+    failsWith("SELECT rdfc10_issue(doc, 100, 4000) FROM docs75",
+      "duplicate HNDQ call limit")
+    failsWith("SELECT rdfc10_canonicalize(doc, 0) FROM docs75",
+      "must be positive")
+  }
+
+  test("rdfc10_canon_dataset rejects a non-positive HNDQ limit at build time") {
+    import spark.implicits._
+    Seq(("g", 0.toByte, "_:a", "urn:p", "x", 2.toByte))
+      .toDF("repo", "sk", "s", "p", "o", "ok").createOrReplaceTempView("dsneg")
+    val e = intercept[Exception](spark.sql(
+      """SELECT rdfc10_canon_dataset(sk, s, p, o, ok, 0) FROM dsneg
+        |GROUP BY repo""".stripMargin).collect())
+    assert(e.getMessage.contains("must be positive")
+      || e.getCause != null && e.getCause.getMessage.contains("must be positive"))
   }
 
   test("rdfc10_status distinguishes parse failure from poison from ok") {
