@@ -198,11 +198,18 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Trials]
     // SPARK_GRAFT_HEADLINES_ONLY=1: skip the per-query loop (fast
-    // canon-gate diagnosis runs)
+    // canon-gate diagnosis runs). SPARK_GRAFT_ONLY=q21,q34 runs only
+    // queries whose name starts with a listed prefix (targeted
+    // scale-up spot-checks without the 39-query sweep); the canon
+    // headlines are skipped whenever a filter is set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     if (!sys.env.get("SPARK_GRAFT_HEADLINES_ONLY").contains("1"))
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        results(name) = best(fn(spark, sfDir).count())
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+        .foreach { case (name, fn) =>
+          results(name) = best(fn(spark, sfDir).count())
+        }
 
     // headline: canonical N-Quads throughput (graphs/sec) on the
     // synthetic KG corpus — 20k graphs so scheduling overhead is
@@ -223,6 +230,7 @@ object Bench {
     val recordsPath = sys.env.getOrElse(
       "SPARK_GRAFT_RECORDS", "/root/repo/BENCH/RECORDS.json")
     val records = readRecords(recordsPath)
+    if (only.isEmpty) {
     results("canon_staged_20kgraphs") =
       calibratedBest(records.get("canon_staged_20kgraphs")) {
         val (linked, cc) = inputs()
@@ -239,6 +247,7 @@ object Bench {
           .filter(_.status == "ok").count()
         require(n == cfg.nRepos, s"canon bench: $n/${cfg.nRepos} graphs ok")
       }
+    }
     // ratchet the persisted records DOWN on clean (unflagged) minima —
     // the cross-run memory the next run's >2x gate compares against
     val cleanUpdates = Seq("canon_staged_20kgraphs", "canon_fused_20kgraphs")
