@@ -206,20 +206,77 @@ object Similarity {
     * 2^18 sample rows · |v| ≤ 2^20 · 2^24 = 2^62. */
   private val LloydFixedPoint = 1L << 24
 
+  /** One Lloyd assignment pass over `rows` into SPARSE fixed-point
+    * partial sums keyed by centroid index — the single arithmetic
+    * kernel shared VERBATIM by the driver-local and distributed paths
+    * of [[refineCentroids]], so the two paths produce bit-identical
+    * sums (Long addition is order-independent; the per-row float math
+    * is this one code path). State is bounded by the number of rows
+    * seen, never K · dim dense. */
+  private def lloydPartials(rows: Iterator[(Long, Array[Float], Double)],
+                            cs: Array[Array[Float]], cn: Array[Double],
+                            dims: Int): java.util.HashMap[Integer, (Array[Long], Array[Long])] = {
+    val acc = new java.util.HashMap[Integer, (Array[Long], Array[Long])]()
+    rows.foreach { case (_, v, nrm) =>
+      var bestI = 0
+      var bestCos = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = dotF(v, cs(i)) / (nrm * cn(i))
+        if (c > bestCos) { bestCos = c; bestI = i }
+        i += 1
+      }
+      var cell = acc.get(bestI)
+      if (cell == null) {
+        cell = (new Array[Long](1), new Array[Long](dims))
+        acc.put(bestI, cell)
+      }
+      cell._1(0) += 1L
+      var d = 0
+      val nd = math.min(dims, v.length) // ragged input: dotF min-guards, so must the sum
+      while (d < nd) {
+        cell._2(d) += math.rint(v(d).toDouble * LloydFixedPoint).toLong
+        d += 1
+      }
+    }
+    acc
+  }
+
+  /** Per-iteration flop budget below which [[refineCentroids]] runs
+    * its assignment driver-local instead of as a Spark job: tiny
+    * problems should not pay `iters` × (broadcast + job launch +
+    * shuffle) in fixed overhead (~10 jobs for the default 5
+    * iterations — measured as most of q35's cost at bench scale).
+    * 2e8 ≈ 0.2 s of single-core work per iteration; above it the
+    * distributed path takes over (at the 100k-centroid cap the
+    * product is ~3e12/iter — the round-4 driver-hours regime). Both
+    * paths share [[lloydPartials]] and fixed-point reduction, so the
+    * choice NEVER changes the result bits (pinned in OpsSpec). */
+  private val LocalLloydFlopBudget = 200000000L
+
   /** Lloyd-refined IVF centroids: start from the md5-ordered member
     * sample of [[selectCentroids]] and run `iters` k-means iterations
     * over a BOUNDED deterministic sample (the first
     * `nCentroids * sampleFactor` vectors in the SAME md5 order, capped
-    * at `maxSample` = 262k rows). The assignment step is DISTRIBUTED:
-    * each iteration broadcasts the K centroids and runs one Spark pass
-    * over the sample — argmax-cosine per row (lowest-index tie-break,
-    * the same (cos desc, cid asc) rule the cell-assignment kernel
-    * uses) into per-partition per-centroid partial sums, reduced by
-    * centroid id — so driver work per iteration is O(K · dim) (collect
-    * K reduced rows, divide), not O(sample · K · dim) as in the
-    * round-4 single-threaded loop (hours at the 100k-centroid cap
-    * while the cluster idled). Partial-sum state per task is bounded
-    * by the partition's row count, never K · dim dense.
+    * at `maxSample` = 262k rows). The assignment step is HYBRID by
+    * problem size, with bit-identical results either way:
+    *  - above [[LocalLloydFlopBudget]] (sample · K · dim per
+    *    iteration) it is DISTRIBUTED — each iteration broadcasts the
+    *    K centroids and runs one Spark pass over the sample:
+    *    argmax-cosine per row (lowest-index tie-break, the same
+    *    (cos desc, cid asc) rule the cell-assignment kernel uses)
+    *    into per-partition per-centroid sparse partial sums, reduced
+    *    by centroid id — so driver work per iteration is O(K · dim)
+    *    (collect K reduced rows, divide), not O(sample · K · dim) as
+    *    in the round-4 single-threaded loop (hours at the
+    *    100k-centroid cap while the cluster idled). Partial-sum state
+    *    per task is bounded by the partition's row count, never
+    *    K · dim dense.
+    *  - below the budget (< ~0.2 s of arithmetic) the same kernel
+    *    ([[lloydPartials]]) runs driver-local over a one-time collect
+    *    of the bounded sample, skipping `iters` × (broadcast + job
+    *    launch + shuffle) of fixed overhead that would dominate small
+    *    refinements.
     *
     * Bit-determinism without an ordered sum: contributions are
     * accumulated in fixed-point Longs (see [[LloydFixedPoint]]), which
@@ -231,7 +288,8 @@ object Similarity {
     * clustered data (pinned in OpsSpec). */
   private[ops] def refineCentroids(u: DataFrame, nCentroids: Int, seed: Long,
                                    iters: Int, sampleFactor: Int = 50,
-                                   maxSample: Int = 1 << 18): Array[(Long, Array[Float], Double)] = {
+                                   maxSample: Int = 1 << 18,
+                                   localFlopBudget: Long = LocalLloydFlopBudget): Array[(Long, Array[Float], Double)] = {
     if (iters <= 0) return selectCentroids(u, nCentroids, seed)
     val spark = u.sparkSession
     import spark.implicits._
@@ -259,54 +317,49 @@ object Similarity {
     val kk = init.length
     val dims = init.head._2.length
     val sample = sampleDs.select("id", "v", "nrm").as[(Long, Array[Float], Double)]
+    // HYBRID: below the per-iteration flop budget the assignment runs
+    // driver-local over a one-time collect of the (bounded, <= 262k
+    // row) sample — same memory footprint the seed superset already
+    // had, none of the `iters` x (broadcast + job + shuffle) fixed
+    // overhead. Above it, the distributed path. Identical bits either
+    // way: one shared kernel, order-independent Long reduction.
+    val flopsPerIter = sampleN.toLong * kk.toLong * dims.toLong
+    val localSample: Array[(Long, Array[Float], Double)] =
+      if (flopsPerIter <= localFlopBudget) sample.collect() else null
     var cents: Array[Array[Float]] = init.map(_._2)
     var it = 0
     while (it < iters) {
       val cnorms = cents.map { c =>
         val n = math.sqrt(dotF(c, c)); if (n == 0.0) 1.0 else n
       }
-      val bc = spark.sparkContext.broadcast((cents, cnorms))
-      // one distributed assignment pass: per-partition partial sums
-      // keyed by centroid (sparse map — state is bounded by partition
-      // rows, not K), then an associative Long reduce per centroid
-      val reduced = sample.mapPartitions { rows =>
-        val (cs, cn) = bc.value
-        val acc = new java.util.HashMap[Integer, (Array[Long], Array[Long])]()
-        rows.foreach { case (_, v, nrm) =>
-          var bestI = 0
-          var bestCos = Double.NegativeInfinity
-          var i = 0
-          while (i < cs.length) {
-            val c = dotF(v, cs(i)) / (nrm * cn(i))
-            if (c > bestCos) { bestCos = c; bestI = i }
-            i += 1
-          }
-          var cell = acc.get(bestI)
-          if (cell == null) {
-            cell = (new Array[Long](1), new Array[Long](dims))
-            acc.put(bestI, cell)
-          }
-          cell._1(0) += 1L
-          var d = 0
-          val nd = math.min(dims, v.length) // ragged input: dotF min-guards, so must the sum
-          while (d < nd) {
-            cell._2(d) += math.rint(v(d).toDouble * LloydFixedPoint).toLong
-            d += 1
-          }
+      val reduced: Array[(Int, Long, Array[Long])] =
+        if (localSample != null) {
+          import scala.jdk.CollectionConverters._
+          lloydPartials(localSample.iterator, cents, cnorms, dims)
+            .entrySet().iterator().asScala
+            .map(e => (e.getKey.intValue(), e.getValue._1(0), e.getValue._2))
+            .toArray
+        } else {
+          val bc = spark.sparkContext.broadcast((cents, cnorms))
+          // one distributed assignment pass: per-partition sparse
+          // partial sums, then an associative Long reduce per centroid
+          try sample.mapPartitions { rows =>
+            val (cs, cn) = bc.value
+            import scala.jdk.CollectionConverters._
+            lloydPartials(rows, cs, cn, dims)
+              .entrySet().iterator().asScala
+              .map(e => (e.getKey.intValue(), e.getValue._1(0), e.getValue._2))
+          }.groupByKey(_._1)
+            .reduceGroups { (a, b) =>
+              val s = a._3.clone()
+              var d = 0
+              while (d < s.length) { s(d) += b._3(d); d += 1 }
+              (a._1, a._2 + b._2, s)
+            }
+            .map(_._2)
+            .collect() // K rows max — O(K · dim) driver bytes and work
+          finally bc.destroy()
         }
-        import scala.jdk.CollectionConverters._
-        acc.entrySet().iterator().asScala
-          .map(e => (e.getKey.intValue(), e.getValue._1(0), e.getValue._2))
-      }.groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val s = a._3.clone()
-          var d = 0
-          while (d < s.length) { s(d) += b._3(d); d += 1 }
-          (a._1, a._2 + b._2, s)
-        }
-        .map(_._2)
-        .collect() // K rows max — O(K · dim) driver bytes and work
-      bc.destroy()
       val byCid = reduced.map(r => r._1 -> r).toMap
       cents = Array.tabulate(kk) { i =>
         byCid.get(i) match {

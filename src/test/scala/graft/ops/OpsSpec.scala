@@ -448,13 +448,16 @@ class OpsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(17)
     val df = (0 until 300).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
       .toDF("vec_id", "embedding")
-    def centsAt(shufflePartitions: String): Seq[(Long, Seq[Float], Double)] = {
+    def centsAt(shufflePartitions: String,
+                budget: Long = 0L): Seq[(Long, Seq[Float], Double)] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
       try {
+        // localFlopBudget = 0 forces the DISTRIBUTED path (this corpus
+        // is far below the default budget, where the local path runs)
         Similarity.refineCentroids(
           Similarity.withNorms(df, "vec_id", "embedding"), nCentroids = 12,
-          seed = 42L, iters = 2)
+          seed = 42L, iters = 2, localFlopBudget = budget)
           .toSeq.map { case (id, v, n) => (id, v.toSeq, n) }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
@@ -463,6 +466,12 @@ class OpsSpec extends AnyFunSuite {
     val c32 = centsAt("32")
     assert(c1 == c7, "centroids differ between 1 and 7 shuffle partitions")
     assert(c7 == c32, "centroids differ between 7 and 32 shuffle partitions")
+    // the hybrid's driver-local fast path must be bit-identical to the
+    // distributed path: one shared assignment kernel, order-independent
+    // fixed-point reduction — the property that makes the size-based
+    // path choice invisible to results
+    val local = centsAt("7", budget = Long.MaxValue)
+    assert(local == c7, "driver-local path differs from distributed path")
   }
 
   test("distributed Lloyd: assignment runs as Spark jobs, not a driver loop") {
@@ -486,13 +495,38 @@ class OpsSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      Similarity.refineCentroids(u, nCentroids = 8, seed = 42L, iters = 3)
+      // force the distributed path (this corpus sits below the default
+      // local budget, where assignment intentionally runs driver-local)
+      Similarity.refineCentroids(u, nCentroids = 8, seed = 42L, iters = 3,
+        localFlopBudget = 0L)
       // listener events are async; onJobStart for the last job has
       // fired by the time its collect() returned, but give the bus a
       // moment anyway
       Thread.sleep(200)
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs.get() >= 3, s"expected >= 1 Spark job per Lloyd iteration, saw ${jobs.get()}")
+    // and below the budget the per-iteration cost is ZERO jobs: one
+    // sample collect, then pure driver arithmetic on the bounded rows.
+    // Invariant: on the local path the job count does NOT grow with
+    // the iteration count (the distributed path adds >= 1 job per
+    // extra iteration)
+    def jobsForIters(n: Int): Int = {
+      val c = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          c.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Similarity.refineCentroids(u, nCentroids = 8, seed = 42L, iters = n)
+        Thread.sleep(200)
+      } finally spark.sparkContext.removeSparkListener(l)
+      c.get()
+    }
+    val j3 = jobsForIters(3)
+    val j6 = jobsForIters(6)
+    assert(j6 == j3,
+      s"local-path job count must not grow with iterations (iters=3: $j3, iters=6: $j6)")
   }
 
   test("embedding near-dup finds planted perturbed copies, skips the rest") {
