@@ -95,6 +95,14 @@ object Kg {
     *    be surprised by an O(|V|) driver collect. The vertex count is
     *    probed with `limit(threshold + 1)` — an early-stopping
     *    CollectLimit, never a full scan of a 100 TB vertex table.
+    *    The edge gate is probed the same way, and the probe IS the
+    *    fast path's input: `limit(threshold + 1).collect()` decides
+    *    the gate AND delivers the edges in one pass, where a
+    *    count-then-collect pair would run the edge lineage — at
+    *    corpus scale, a full scan + alias regex — twice (and the
+    *    count could not even early-stop when the graph is big).
+    *    Driver memory stays bounded at threshold + 1 edge rows
+    *    either way.
     *  - larger sets use iterative DataFrame min-label propagation
     *    with per-iteration `localCheckpoint` lineage truncation
     *    (SURVEY §2b / §7.4-6), convergence = changed-count 0.
@@ -106,12 +114,13 @@ object Kg {
                           maxIter: Int = 20,
                           smallThreshold: Long = 500000L): DataFrame = {
     val spark = vertices.sparkSession
-    val edgeCount = edges.count()
+    val probeN = math.min(smallThreshold + 1, Int.MaxValue.toLong).toInt
+    val edgeSample = edges.limit(probeN).collect()
     val vertexCountCapped =
-      if (edgeCount <= smallThreshold)
-        vertices.select("name").limit(math.min(smallThreshold + 1, Int.MaxValue).toInt).count()
+      if (edgeSample.length <= smallThreshold)
+        vertices.select("name").limit(probeN).count()
       else smallThreshold + 1 // edge gate already failed; skip the probe
-    if (edgeCount <= smallThreshold && vertexCountCapped <= smallThreshold) {
+    if (edgeSample.length <= smallThreshold && vertexCountCapped <= smallThreshold) {
       val vs = vertices.select("name").collect().map(_.getString(0))
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x: String): String = {
@@ -129,7 +138,7 @@ object Kg {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      edges.collect().foreach(e => union(e.src, e.dst))
+      edgeSample.foreach(e => union(e.src, e.dst)) // the probe already holds ALL edges here
       val rows = vs.map(v => (v, find(v))).toSeq
       import spark.implicits._
       return rows.toDF("entity", "canonical")

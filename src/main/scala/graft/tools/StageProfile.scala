@@ -28,7 +28,10 @@ object StageProfile {
         val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
         val taskTime = si.taskMetrics.executorRunTime
         val gc = si.taskMetrics.jvmGCTime
-        stages.add((si.stageId, s"gc=${gc / 1000.0}s", dur, si.numTasks, taskTime))
+        val deser = si.taskMetrics.executorDeserializeTime
+        val shufW = si.taskMetrics.shuffleWriteMetrics.writeTime / 1000000L
+        val label = si.name.take(40) + f" gc=${gc / 1000.0}%.1f deser=${deser / 1000.0}%.1f shufW=${shufW / 1000.0}%.1f"
+        stages.add((si.stageId, label, dur, si.numTasks, taskTime))
       }
     })
     val t0 = System.nanoTime()
@@ -39,7 +42,7 @@ object StageProfile {
     var sumDur = 0L
     var sumTask = 0L
     stages.forEach { case (id, name, dur, nt, tt) =>
-      println(f"stage $id%4d $name%-28s wall=${dur / 1000.0}%7.2f s  tasks=$nt%4d  taskTime=${tt / 1000.0}%8.2f s")
+      println(f"stage $id%4d $name%-75s wall=${dur / 1000.0}%7.2f s  tasks=$nt%4d  taskTime=${tt / 1000.0}%8.2f s")
       sumDur += dur; sumTask += tt
     }
     println(f"== sum(stage wall)=${sumDur / 1000.0}%.2f s  sum(taskTime)=${sumTask / 1000.0}%.2f core-s")

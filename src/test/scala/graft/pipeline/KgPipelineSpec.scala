@@ -46,6 +46,25 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(cc == Map("A" -> "A", "B" -> "A", "C" -> "A", "D" -> "D", "E" -> "D"))
   }
 
+  test("driver fast path evaluates the edge lineage exactly once") {
+    // the edge gate probe IS the fast path's input
+    // (limit(threshold+1).collect()): a count-then-collect pair would
+    // run the edge lineage — at corpus scale a full scan + alias
+    // regex — twice. Pin one pass via a per-partition-visit marker.
+    import spark.implicits._
+    val vertices = Seq("A", "B", "C").toDF("name")
+    val acc = spark.sparkContext.longAccumulator("edgePartitionVisits")
+    val edges = spark.createDataset(
+      Seq(AliasEdge("B", "A"), AliasEdge("C", "B"))).repartition(2)
+      .mapPartitions { it => acc.add(1); it }
+    val nParts = edges.rdd.getNumPartitions
+    val cc = Kg.connectedComponents(vertices, edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("A" -> "A", "B" -> "A", "C" -> "A"))
+    assert(acc.value <= nParts,
+      s"edge lineage ran ${acc.value} partition-visits over $nParts partitions — more than one pass")
+  }
+
   test("distributed CC converges on a chain longer than maxIter hops") {
     // 60-hop alias chain through the DISTRIBUTED path (smallThreshold
     // 0): plain min-label propagation needs 59 iterations and was
