@@ -258,18 +258,35 @@ object Kg {
     val spark = linked.sparkSession
     import spark.implicits._
     import graft.rdf.TermKind
-    val cm = canonMap.withColumnRenamed("entity", "ent_key")
+    // The canonical-entity dictionary is broadcast-sized BY DESIGN
+    // (canonMap already ships whole to every executor for this join),
+    // so the corpus-wide exchange carries a 4-byte dictionary id per
+    // mention instead of the canonical-name string, and mapGroups
+    // decodes ids through ONE broadcast array — the shuffle shrinks
+    // and every decoded name is a SHARED instance (row machinery, not
+    // the kernel, dominates this stage: one less string allocation
+    // per shuffled row). Ordering is unchanged: ids index a SORTED
+    // dictionary, so (offset, id) sorts exactly like (offset, name).
+    val canonPairs = canonMap
+      .select(col("entity").cast("string"), col("canonical").cast("string"))
+      .as[(String, String)].collect()
+    val canonIdx: Array[String] = canonPairs.map(_._2).distinct.sorted
+    val idOf = canonIdx.zipWithIndex.toMap
+    val entToId = canonPairs.map { case (e, c) => (e, idOf(c)) }.toSeq
+      .toDF("ent_key", "cid")
     val m = linked.toDF()
-      .join(broadcast(cm), col("entity") === col("ent_key"))
-      .select(col("repo"), col("path"), col("canonical").as("ent"), col("offset"))
-      .as[(String, String, String, Long)]
+      .join(broadcast(entToId), col("entity") === col("ent_key"))
+      .select(col("repo"), col("path"), col("cid"), col("offset"))
+      .as[(String, String, Int, Long)]
+    val bcIdx = spark.sparkContext.broadcast(canonIdx)
     val limit = opts.hndqCallLimit
     val alg = opts.hashAlgorithm
     val perNode = opts.perNodeCounter
     m.groupByKey(_._1).mapGroups { (repo, it) =>
-      val perFile = new scala.collection.mutable.HashMap[String, mutable.ArrayBuffer[(Long, String)]]
-      it.foreach { case (_, path, ent, off) =>
-        perFile.getOrElseUpdate(path, new mutable.ArrayBuffer) += ((off, ent))
+      val idx = bcIdx.value
+      val perFile = new scala.collection.mutable.HashMap[String, mutable.ArrayBuffer[(Long, Int)]]
+      it.foreach { case (_, path, cid, off) =>
+        perFile.getOrElseUpdate(path, new mutable.ArrayBuffer) += ((off, cid))
       }
       val seen = new scala.collection.mutable.HashSet[(Byte, String, String, String, Byte)]
       val quads = new mutable.ArrayBuffer[graft.rdf.Quad]
@@ -279,15 +296,16 @@ object Kg {
       perFile.toSeq.sortBy(_._1).foreach { case (path, ms) =>
         val fileIri = s"urn:src:$repo/$path"
         add(TermKind.Iri, s"urn:repo:$repo", "urn:p:hasFile", fileIri, TermKind.Iri)
-        var prev: String = null
-        ms.sortInPlace()
-        ms.foreach { case (_, ent) =>
+        var prevId = -1
+        ms.sortInPlace() // (offset, cid) == (offset, name) order: idx is sorted
+        ms.foreach { case (_, cid) =>
+          val ent = idx(cid)
           add(TermKind.BNode, ent, "urn:p:type", "urn:c:Entity", TermKind.Iri)
           add(TermKind.BNode, ent, "urn:p:mentionedIn", fileIri, TermKind.Iri)
           add(TermKind.BNode, ent, "urn:p:label", ent, TermKind.Literal)
-          if (prev != null && prev != ent)
-            add(TermKind.BNode, prev, "urn:p:coOccursWith", ent, TermKind.BNode)
-          prev = ent
+          if (prevId >= 0 && prevId != cid)
+            add(TermKind.BNode, idx(prevId), "urn:p:coOccursWith", ent, TermKind.BNode)
+          prevId = cid
         }
       }
       // `seen` already enforced set semantics — skip the kernel's dedup
