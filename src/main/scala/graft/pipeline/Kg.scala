@@ -265,12 +265,18 @@ object Kg {
     // decodes ids through ONE broadcast array — the shuffle shrinks
     // and every decoded name is a SHARED instance (row machinery, not
     // the kernel, dominates this stage: one less string allocation
-    // per shuffled row). Ordering is unchanged: ids index a SORTED
-    // dictionary, so (offset, id) sorts exactly like (offset, name).
+    // per shuffled row). Ordering: ids index a dictionary sorted in
+    // CODE-POINT order — the same order Spark's UTF8String binary
+    // comparison gives the staged path's sort_array — so (offset, id)
+    // ties break identically to the staged (offset, name) sort even
+    // for astral-plane names (Java string order would diverge there;
+    // a mention CAN carry several same-offset candidates whenever two
+    // dictionary entries clear the link-score threshold).
     val canonPairs = canonMap
       .select(col("entity").cast("string"), col("canonical").cast("string"))
       .as[(String, String)].collect()
-    val canonIdx: Array[String] = canonPairs.map(_._2).distinct.sorted
+    val canonIdx: Array[String] =
+      canonPairs.map(_._2).distinct.sorted(graft.rdf.CodePointOrdering)
     val idOf = canonIdx.zipWithIndex.toMap
     val entToId = canonPairs.map { case (e, c) => (e, idOf(c)) }.toSeq
       .toDF("ent_key", "cid")

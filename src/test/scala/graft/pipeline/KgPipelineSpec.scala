@@ -134,6 +134,35 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(fused == staged)
   }
 
+  test("fused tie ordering matches staged for astral-plane entity names") {
+    // two entities linked at the SAME offset (possible whenever two
+    // dictionary entries clear the link-score threshold for one
+    // token), with names that straddle the UTF-16/code-point order
+    // boundary: U+FFFD sorts BEFORE U+10000 in code-point (and
+    // UTF8String, i.e. staged sort_array) order but AFTER it in Java
+    // string order. The dictionary-id tie-break must follow the
+    // code-point order or the coOccursWith chain diverges between
+    // the fused and staged paths.
+    import spark.implicits._
+    val eBmp = "e\uFFFD"
+    val eAstral = "e" + new String(Character.toChars(0x10000))
+    assert(eBmp.compareTo(eAstral) > 0, "Java order: astral first")
+    assert(graft.rdf.CodePointOrdering.compare(eBmp, eAstral) < 0,
+      "code-point order: BMP first")
+    val linked = spark.createDataset(Seq(
+      LinkedMention("r1", "f.c", eBmp, 5L, 1.0),
+      LinkedMention("r1", "f.c", eAstral, 5L, 1.0),
+      LinkedMention("r1", "f.c", eBmp, 9L, 1.0)))
+    val canonMap = Seq((eBmp, eBmp), (eAstral, eAstral))
+      .toDF("entity", "canonical")
+    val staged = Kg.canonicalizeTriples(
+      Kg.dedupTriples(Kg.emitTriples(linked, canonMap)))
+      .collect().map(r => r.key -> r.canonicalNQuads).toMap
+    val fused = Kg.canonicalizeFromMentions(linked, canonMap)
+      .collect().map(r => r.key -> r.canonicalNQuads).toMap
+    assert(fused == staged)
+  }
+
   test("canonical output is deterministic across independent work dirs") {
     val w1 = Files.createTempDirectory("kgd1").toString
     val w2 = Files.createTempDirectory("kgd2").toString
