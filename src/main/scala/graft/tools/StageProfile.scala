@@ -30,7 +30,9 @@ object StageProfile {
         val gc = si.taskMetrics.jvmGCTime
         val deser = si.taskMetrics.executorDeserializeTime
         val shufW = si.taskMetrics.shuffleWriteMetrics.writeTime / 1000000L
-        val label = si.name.take(40) + f" gc=${gc / 1000.0}%.1f deser=${deser / 1000.0}%.1f shufW=${shufW / 1000.0}%.1f"
+        val shufMB = si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6
+        val label = si.name.take(40) +
+          f" gc=${gc / 1000.0}%.1f deser=${deser / 1000.0}%.1f shufW=${shufW / 1000.0}%.1f shufMB=$shufMB%.1f"
         stages.add((si.stageId, label, dur, si.numTasks, taskTime))
       }
     })
