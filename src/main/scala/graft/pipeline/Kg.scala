@@ -92,17 +92,16 @@ object Kg {
     *    The vertex gate matters independently of the edge gate: the
     *    driver path collects ALL vertices (they are the output rows),
     *    so a caller with few edges but a huge vertex table must not
-    *    be surprised by an O(|V|) driver collect. The vertex count is
-    *    probed with `limit(threshold + 1)` — an early-stopping
-    *    CollectLimit, never a full scan of a 100 TB vertex table.
-    *    The edge gate is probed the same way, and the probe IS the
-    *    fast path's input: `limit(threshold + 1).collect()` decides
-    *    the gate AND delivers the edges in one pass, where a
-    *    count-then-collect pair would run the edge lineage — at
-    *    corpus scale, a full scan + alias regex — twice (and the
-    *    count could not even early-stop when the graph is big).
-    *    Driver memory stays bounded at threshold + 1 edge rows
-    *    either way.
+    *    be surprised by an O(|V|) driver collect. BOTH gates are
+    *    probed with `limit(threshold + 1).collect()` — an
+    *    early-stopping CollectLimit, never a full scan of a 100 TB
+    *    table — and each probe IS the fast path's input: it decides
+    *    the gate AND delivers the rows in one pass, where a
+    *    count-then-collect pair would run the lineage (for edges, a
+    *    full scan + alias regex at corpus scale) twice, and a count
+    *    could not even early-stop on a big input. Driver memory
+    *    stays bounded at threshold + 1 rows per probe either way;
+    *    thresholds are clamped below Int.MaxValue (see the body).
     *  - larger sets use iterative DataFrame min-label propagation
     *    with per-iteration `localCheckpoint` lineage truncation
     *    (SURVEY §2b / §7.4-6), convergence = changed-count 0.
@@ -114,14 +113,25 @@ object Kg {
                           maxIter: Int = 20,
                           smallThreshold: Long = 500000L): DataFrame = {
     val spark = vertices.sparkSession
-    val probeN = math.min(smallThreshold + 1, Int.MaxValue.toLong).toInt
+    // Clamp the effective threshold below Int.MaxValue: limit() cannot
+    // probe past 2^31-1 rows, so a larger requested threshold would
+    // let a truncated sample pass the gate (and Long.MaxValue + 1
+    // would overflow probeN to an EMPTY probe -> silent singleton
+    // components). A >2-billion-row driver collect is absurd anyway;
+    // thresholds above the clamp just mean "driver path if at all
+    // representable".
+    val effThreshold = math.min(smallThreshold, (Int.MaxValue - 1).toLong)
+    val probeN = (effThreshold + 1).toInt
     val edgeSample = edges.limit(probeN).collect()
-    val vertexCountCapped =
-      if (edgeSample.length <= smallThreshold)
-        vertices.select("name").limit(probeN).count()
-      else smallThreshold + 1 // edge gate already failed; skip the probe
-    if (edgeSample.length <= smallThreshold && vertexCountCapped <= smallThreshold) {
-      val vs = vertices.select("name").collect().map(_.getString(0))
+    // the vertex probe doubles as the fast path's vertex rows — same
+    // one-pass pattern as the edge probe (a derived vertex table would
+    // otherwise pay its lineage twice)
+    val vSample =
+      if (edgeSample.length <= effThreshold)
+        vertices.select("name").limit(probeN).collect()
+      else Array.empty[org.apache.spark.sql.Row] // edge gate failed; skip
+    if (edgeSample.length <= effThreshold && vSample.length <= effThreshold) {
+      val vs = vSample.map(_.getString(0))
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x: String): String = {
         var r = x
@@ -144,8 +154,12 @@ object Kg {
       return rows.toDF("entity", "canonical")
     }
 
-    val sym = edges.toDF("a", "b")
-      .union(edges.toDF().select(col("dst").as("a"), col("src").as("b")))
+    // materialize the edge lineage ONCE before the self-union: the
+    // two legs of sym would otherwise each re-run it (a corpus scan +
+    // alias regex at real scale), on top of the probe above
+    val e0 = edges.toDF().localCheckpoint()
+    val sym = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
       .dropDuplicates("a", "b")
       .localCheckpoint()
     var labels = vertices.select(col("name").as("id"), col("name").as("label"))

@@ -65,6 +65,22 @@ class KgPipelineSpec extends AnyFunSuite {
       s"edge lineage ran ${acc.value} partition-visits over $nParts partitions — more than one pass")
   }
 
+  test("extreme smallThreshold values neither overflow nor truncate the gate") {
+    // Long.MaxValue used to overflow probeN to an EMPTY probe (every
+    // vertex silently became a singleton); thresholds past
+    // Int.MaxValue would let a truncated sample pass the gate. Both
+    // are clamped now: the fast path still computes correct
+    // components at any representable threshold.
+    import spark.implicits._
+    val vertices = Seq("A", "B", "C").toDF("name")
+    val edges = spark.createDataset(Seq(AliasEdge("B", "A"), AliasEdge("C", "B")))
+    for (t <- Seq(Long.MaxValue, Int.MaxValue.toLong + 5L)) {
+      val cc = Kg.connectedComponents(vertices, edges, smallThreshold = t)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cc == Map("A" -> "A", "B" -> "A", "C" -> "A"), s"threshold $t")
+    }
+  }
+
   test("distributed CC converges on a chain longer than maxIter hops") {
     // 60-hop alias chain through the DISTRIBUTED path (smallThreshold
     // 0): plain min-label propagation needs 59 iterations and was
