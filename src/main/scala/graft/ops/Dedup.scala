@@ -51,22 +51,31 @@ object Dedup {
   /** First 8 bytes of MD5(s), big-endian (see [[LshUtil.md5Long]]). */
   def md5Long(s: String): Long = LshUtil.md5Long(s)
 
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+
   /** Distinct k-gram shingle hashes of the normalized text, sorted.
-    * Shingle id = md5Long of the k-char window (JVM-side kernel). */
+    * Shingle id = md5Long of the k-char window. Primitive kernel
+    * (round 6): hashes go into a long[] sorted + deduped in place,
+    * and each window is digested via [[LshUtil.md5LongRange]] — the
+    * previous TreeSet[java.lang.Long] + substring + getBytes path
+    * allocated ~120 B per window (boxed node + String + byte[]),
+    * millions of times per task across the three consumers of the
+    * shingle table. Output is bit-identical (sorted distinct longs). */
   def shingleHashes(text: String, k: Int = 5): Array[Long] = {
-    val norm = text.toLowerCase.replaceAll("\\s+", " ")
+    val norm = WsRe.matcher(text.toLowerCase).replaceAll(" ")
     if (norm.length < k) return Array(md5Long(norm))
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val n = norm.length - k + 1
+    val arr = new Array[Long](n)
     var i = 0
-    while (i + k <= norm.length) {
-      set.add(md5Long(norm.substring(i, i + k)))
-      i += 1
+    while (i < n) { arr(i) = LshUtil.md5LongRange(norm, i, k); i += 1 }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var r = 1
+    while (r < n) {
+      if (arr(r) != arr(w)) { w += 1; arr(w) = arr(r) }
+      r += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var n = 0
-    while (it.hasNext) { out(n) = it.next(); n += 1 }
-    out
+    if (w + 1 == n) arr else java.util.Arrays.copyOf(arr, w + 1)
   }
 
   /** (id, shingles[]) — typed kernel, sorted distinct hashes.
