@@ -205,42 +205,65 @@ object Kg {
     * does real work; files/repos are IRIs; labels are literals.
     * objKind: 0=IRI 1=bnode 2=literal.
     *
-    * Single-pass design: ONE shuffle groups mentions by (repo, path)
-    * with an in-group sort by offset, then a flatMap emits
-    * type/mentionedIn/label/coOccursWith/hasFile rows together. (A
-    * previous version used a window `lead` plus a 5-way union of
-    * projections — 5 recomputations of the upstream lineage and an
-    * extra shuffle; at 100 TB that is 5 corpus scans instead of 1.)
+    * Relational single-exchange design (round 6): ONE explicit hash
+    * exchange on `repo`, then a (repo, path)/offset window (clustering
+    * satisfied by the repo partitioning — no second shuffle) feeds a
+    * codegen `explode` that emits type/mentionedIn/label/coOccursWith
+    * rows per mention and the hasFile row on each file's first mention
+    * (`lag` reproduces the previous sorted-group emission exactly).
+    * Because the emission stays relational (no typed flatMap object
+    * boundary), the `repo` partitioning is VISIBLE to every downstream
+    * consumer: dedupTriples' full-key dropDuplicates (repo ⊆ key) and
+    * canonicalizeTriples' per-repo grouping both reuse this one
+    * exchange, so the staged chain shuffles the ~small mention rows
+    * once instead of shuffling the (much larger) triple set twice —
+    * measured 27 MB vs 190 MB + 220 MB at the 20k-repo bench scale.
+    * (The earlier typed-flatMap version hid the partitioning behind
+    * DeserializeToObject, forcing both downstream exchanges.)
     */
   def emitTriples(linked: Dataset[LinkedMention], canonMap: DataFrame): DataFrame = {
-    val spark = linked.sparkSession
-    import spark.implicits._
-
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
     val cm = canonMap.withColumnRenamed("entity", "ent_key")
     val m = linked.toDF()
       .join(broadcast(cm), col("entity") === col("ent_key"))
       .select(col("repo"), col("path"), col("canonical").as("ent"), col("offset"))
 
-    m.groupBy("repo", "path")
-      .agg(sort_array(collect_list(struct(col("offset"), col("ent")))).as("ms"))
-      .as[(String, String, Seq[(Long, String)])]
-      .flatMap { case (repo, path, ms) =>
-        val fileIri = s"urn:src:$repo/$path"
-        val out = Vector.newBuilder[TripleRow]
-        out += TripleRow(repo, 0, s"urn:repo:$repo", "urn:p:hasFile", fileIri, 0)
-        var prev: String = null
-        ms.foreach { case (_, ent) =>
-          out += TripleRow(repo, 1, ent, "urn:p:type", "urn:c:Entity", 0)
-          out += TripleRow(repo, 1, ent, "urn:p:mentionedIn", fileIri, 0)
-          out += TripleRow(repo, 1, ent, "urn:p:label", ent, 2)
-          if (prev != null && prev != ent)
-            out += TripleRow(repo, 1, prev, "urn:p:coOccursWith", ent, 1)
-          prev = ent
-        }
-        out.result()
-      }
-      .toDF()
-      .select("repo", "subjKind", "subj", "pred", "obj", "objKind")
+    val w = Window.partitionBy("repo", "path").orderBy(col("offset"), col("ent"))
+    val fileIri = concat(lit("urn:src:"), col("repo"), lit("/"), col("path"))
+    def t(subjKind: Int, subj: Column, pred: String, obj: Column, objKind: Int): Column =
+      struct(lit(subjKind.toByte).as("subjKind"), subj.as("subj"),
+        lit(pred).as("pred"), obj.as("obj"), lit(objKind.toByte).as("objKind"))
+    // slice(.., 1, 0/1) keeps the element type while making the
+    // conditional parts empty — concat of same-typed arrays stays
+    // whole-stage-codegen
+    def onlyIf(cond: Column, el: Column): Column =
+      slice(array(el), lit(1), when(cond, 1).otherwise(0))
+    // explicit width = spark.sql.shuffle.partitions: with a bare
+    // repartition(col) AQE coalesces this (small) mention shuffle
+    // toward its 1 MB floor, which then runs the WHOLE downstream
+    // chain — window, dedup, and the per-repo canonicalization kernel
+    // — at a fraction of the cluster's parallelism (measured 16 of 32
+    // tasks, kernel stage 2x slower). The knob stays scale-adaptive:
+    // it is the session's standard shuffle-width setting, not a
+    // constant tuned to this host.
+    val numParts = m.sparkSession.sessionState.conf.numShufflePartitions
+    m.repartition(numParts, col("repo"))
+      .withColumn("prev", lag(col("ent"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .select(col("repo"), explode(concat(
+        onlyIf(col("rn") === 1,
+          t(0, concat(lit("urn:repo:"), col("repo")), "urn:p:hasFile", fileIri, 0)),
+        array(
+          t(1, col("ent"), "urn:p:type", lit("urn:c:Entity"), 0),
+          t(1, col("ent"), "urn:p:mentionedIn", fileIri, 0),
+          t(1, col("ent"), "urn:p:label", col("ent"), 2)),
+        onlyIf(col("prev").isNotNull && col("prev") =!= col("ent"),
+          t(1, col("prev"), "urn:p:coOccursWith", col("ent"), 1))
+      )).as("tr"))
+      .select(col("repo"), col("tr.subjKind").as("subjKind"),
+        col("tr.subj").as("subj"), col("tr.pred").as("pred"),
+        col("tr.obj").as("obj"), col("tr.objKind").as("objKind"))
   }
 
   /** Triple dedup. `dropDuplicates` hash-partitions on the FULL key
@@ -334,21 +357,16 @@ object Kg {
     }
   }
 
-  /** Triples → per-repo canonical N-Quads via the RDFC-1.0 engine. */
+  /** Triples → per-repo canonical N-Quads via the RDFC-1.0 engine.
+    * Stays relational into the per-repo grouping
+    * ([[graft.spark.CanonEngine.canonicalizeTripleRows]]), so when the
+    * input is already hash-partitioned on `repo` — as
+    * [[emitTriples]]/[[dedupTriples]] output is — the grouping adds NO
+    * exchange; plain literals carry dt="" (implicit xsd:string;
+    * canonical N-Quads suppresses it and Quad equality uses ""). */
   def canonicalizeTriples(triples: DataFrame,
                           opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default)
-      : Dataset[graft.spark.CanonResult] = {
-    val spark = triples.sparkSession
-    import spark.implicits._
-    import graft.rdf.TermKind
-    val keyed = triples.select("repo", "subjKind", "subj", "pred", "obj", "objKind")
-      .as[(String, Byte, String, String, String, Byte)]
-      .map { case (repo, sk, s, p, o, ok) =>
-        // plain literals carry dt="" (implicit xsd:string; canonical
-        // N-Quads suppresses it and our Quad equality uses "")
-        graft.spark.KeyedQuad(repo, sk, s, p, ok, o, "", "",
-          TermKind.DefaultGraph, "")
-      }
-    graft.spark.CanonEngine.canonicalizePerGraph(keyed, opts)
-  }
+      : Dataset[graft.spark.CanonResult] =
+    graft.spark.CanonEngine.canonicalizeTripleRows(
+      triples.select("repo", "subjKind", "subj", "pred", "obj", "objKind"), opts)
 }

@@ -23,6 +23,12 @@ object KeyedQuad {
     KeyedQuad(key, q.sKind, q.s, q.p, q.oKind, q.o, q.oDt, q.oLang, q.gKind, q.g)
 }
 
+/** Column shape of one collected triple in
+  * [[CanonEngine.canonicalizeTripleRows]] (field names must match the
+  * struct() the aggregate builds). */
+final case class TripleCols(subjKind: Byte, subj: String, pred: String,
+                            obj: String, objKind: Byte)
+
 /** Per-graph canonicalization outcome. `status` is "ok" or an error
   * class name; a poisoned graph yields an error ROW, never a failed
   * job (mirrors the reference's negative test #test074c semantics:
@@ -128,6 +134,45 @@ object CanonEngine {
       .flatMapGroups { (key: String, it: Iterator[KeyedQuad]) =>
         val o = CanonOptions(limit, alg, perNode)
         Iterator.single(canonicalizeOne(key, it.map(_.quad).toVector, o))
+      }
+  }
+
+  /** Triple-table variant of [[canonicalizePerGraph]] for the staged
+    * KG pipeline: input is a DataFrame of
+    * (repo, subjKind, subj, pred, obj, objKind) rows (plain literals,
+    * default graph — the `Kg.emitTriples` shape). Grouping runs as a
+    * RELATIONAL `groupBy(repo).agg(collect_list(struct(...)))` + typed
+    * map instead of `groupByKey.flatMapGroups`: a relational aggregate
+    * declares ClusteredDistribution(repo), which an upstream exchange
+    * already hash-partitioned on `repo` (emitTriples) SATISFIES — so
+    * the staged chain canonicalizes with zero additional shuffles,
+    * where the typed groupByKey always re-exchanged the full triple
+    * set. Result rows are identical to
+    * `canonicalizePerGraph(keyed quads)`: the kernel is insensitive to
+    * quad arrival order (pinned by the staged/fused equality tests).
+    */
+  def canonicalizeTripleRows(
+      triples: org.apache.spark.sql.DataFrame,
+      opts: CanonOptions = CanonOptions.default
+  ): Dataset[CanonResult] = {
+    import org.apache.spark.sql.functions.{col, collect_list, struct}
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val limit = opts.hndqCallLimit
+    val alg = opts.hashAlgorithm
+    val perNode = opts.perNodeCounter
+    triples
+      .groupBy(col("repo"))
+      .agg(collect_list(struct(col("subjKind"), col("subj"), col("pred"),
+        col("obj"), col("objKind"))).as("qs"))
+      .as[(String, Seq[TripleCols])]
+      .mapPartitions { it =>
+        val o = CanonOptions(limit, alg, perNode)
+        it.map { case (key, qs) =>
+          canonicalizeOne(key, qs.map(t =>
+            Quad(t.subjKind, t.subj, t.pred, t.objKind, t.obj, "", "",
+              graft.rdf.TermKind.DefaultGraph, "")), o)
+        }
       }
   }
 

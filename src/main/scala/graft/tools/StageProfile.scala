@@ -4,11 +4,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Plain-run stage timing via SparkListener (no caching side effects).
-  * Usage: StageProfile <cores> <repos> <files> <mpf> */
+  * Usage: StageProfile <cores> <repos> <files> <mpf> [staged]
+  * The optional 5th arg profiles the STAGED canon path (emitTriples →
+  * dedupTriples → canonicalizeTriples, as the bench headline times it)
+  * instead of the fused one. */
 object StageProfile {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // locale-safe f"%.3f" JSON
-    val Array(cores, repos, files, mpf) = args.map(_.toInt)
+    val staged = args.length > 4 && args(4) == "staged"
+    val Array(cores, repos, files, mpf) = args.take(4).map(_.toInt)
     val cfg = graft.pipeline.Corpus.Config(
       nRepos = repos, baseFilesPerRepo = files, mentionsPerFile = mpf)
     val spark = SparkSession.builder()
@@ -19,7 +23,23 @@ object StageProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    ScalingBench.runJob(spark, cfg) // warm-up
+    def job(): Long =
+      if (staged) {
+        import spark.implicits._
+        val dictNames = (0 until cfg.nEntities).map(graft.pipeline.Corpus.entityName)
+        val dict = spark.sparkContext.broadcast(dictNames.toSet)
+        val files = graft.pipeline.Corpus.generate(spark, cfg)
+        val mentions = graft.pipeline.Kg.detectMentions(files, dict)
+        val linked = graft.pipeline.Kg.linkMentions(mentions, dictNames.toDF("name"))
+        val aliases = graft.pipeline.Kg.detectAliases(files)
+        val cc = graft.pipeline.Kg.connectedComponents(dictNames.toDF("name"), aliases)
+        val triples = graft.pipeline.Kg.dedupTriples(
+          graft.pipeline.Kg.emitTriples(linked, cc))
+        graft.pipeline.Kg.canonicalizeTriples(triples)
+          .filter(_.status == "ok").count()
+      } else ScalingBench.runJob(spark, cfg)
+
+    job() // warm-up
 
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -37,7 +57,7 @@ object StageProfile {
       }
     })
     val t0 = System.nanoTime()
-    val ok = ScalingBench.runJob(spark, cfg)
+    val ok = job()
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)
     println(f"== cores=$cores wall=$wall%.2f ok=$ok")
