@@ -235,10 +235,21 @@ object Dedup {
       (prefixMinDocs != Int.MaxValue &&
         estimatedDocs(docs, numDocsHint) >= prefixMinDocs)
     // three consumers (df count, prefix/full postings, over-df star)
-    // re-explode the shingle arrays by default; -Dgraft.ops.cache=true
-    // persists one copy instead (recompute measured FASTER at sf1 —
-    // the round-3 negative result — so caching stays opt-in)
-    val inverted = invertedPostings(sh).transform(maybePersist)
+    // used to re-explode the shingle arrays each (the broadcast-join
+    // plans left no common exchange to reuse); an explicit shingle
+    // repartition gives all of them ONE identical Exchange subtree
+    // that ReuseExchange/AQE stage reuse collapses, so the shingle
+    // kernel + explode run once per query instead of 3-4x.
+    // -Dgraft.ops.cache=true persists a copy instead (recompute
+    // measured FASTER at sf1 than the columnar cache — the round-3
+    // negative result — so caching stays opt-in). Width pinned to the
+    // session's shuffle-partition knob, not AQE's small-input floor:
+    // every downstream join/groupBy of this operator runs on these
+    // partitions.
+    val numParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val inverted = invertedPostings(sh)
+      .repartition(numParts, col("shingle"))
+      .transform(maybePersist)
     // FULL per-shingle document frequency — the single df table both
     // the plan gate's rare/over split and the prefix order use
     val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -291,7 +302,10 @@ object Dedup {
                         textCol: String = "text", k: Int = 5,
                         maxDf: Int = 100): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, k)
+    // same single-exchange sharing as ngramJaccardPairs (see there)
     val inverted = invertedPostings(sh)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("shingle"))
     val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
     val pre = prefixPostings(inverted, dfc, threshold)
     val nPrefixShingles = pre.agg(

@@ -342,23 +342,40 @@ object Similarity {
         } else {
           val bc = spark.sparkContext.broadcast((cents, cnorms))
           // one distributed assignment pass: per-partition sparse
-          // partial sums, then an associative Long reduce per centroid
-          try sample.mapPartitions { rows =>
-            val (cs, cn) = bc.value
+          // partial sums, merged with a SHUFFLE-FREE treeReduce —
+          // the previous groupByKey(<= K keys).reduceGroups paid a
+          // full shuffle exchange per iteration for a reduction whose
+          // merged state is at most K sparse entries. Long addition is
+          // associative and commutative, so the tree merge order
+          // cannot change a bit of the result (same guarantee the
+          // per-centroid reduce relied on); the driver receives ONE
+          // merged map of <= K entries — O(K · dim) bytes, as before.
+          try {
+            val merged = sample.rdd.mapPartitions { rows =>
+              val (cs, cn) = bc.value
+              Iterator.single(lloydPartials(rows, cs, cn, dims))
+            }.treeReduce({ (a, b) =>
+              val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+              val it = small.entrySet().iterator()
+              while (it.hasNext) {
+                val e = it.next()
+                val cell = big.get(e.getKey)
+                if (cell == null) big.put(e.getKey, e.getValue)
+                else {
+                  cell._1(0) += e.getValue._1(0)
+                  val s = cell._2
+                  val o = e.getValue._2
+                  var d = 0
+                  while (d < s.length) { s(d) += o(d); d += 1 }
+                }
+              }
+              big
+            }, depth = 2)
             import scala.jdk.CollectionConverters._
-            lloydPartials(rows, cs, cn, dims)
-              .entrySet().iterator().asScala
+            merged.entrySet().iterator().asScala
               .map(e => (e.getKey.intValue(), e.getValue._1(0), e.getValue._2))
-          }.groupByKey(_._1)
-            .reduceGroups { (a, b) =>
-              val s = a._3.clone()
-              var d = 0
-              while (d < s.length) { s(d) += b._3(d); d += 1 }
-              (a._1, a._2 + b._2, s)
-            }
-            .map(_._2)
-            .collect() // K rows max — O(K · dim) driver bytes and work
-          finally bc.destroy()
+              .toArray
+          } finally bc.destroy()
         }
       val byCid = reduced.map(r => r._1 -> r).toMap
       cents = Array.tabulate(kk) { i =>
