@@ -124,17 +124,54 @@ object Rdfc10 {
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     val buf: java.nio.ByteBuffer = java.nio.ByteBuffer.allocate(8192)
+    /** Persistent array-backed input buffer: `CharBuffer.wrap(s)` is
+      * an allocation PER updateDigest call (~50/graph); copying the
+      * chars into a reused buffer is a memcpy instead. Grown (power
+      * of two) to the longest string seen by the thread. */
+    var cbuf: java.nio.CharBuffer = java.nio.CharBuffer.allocate(8192)
+    def charsFor(n: Int): java.nio.CharBuffer = {
+      if (cbuf.capacity < n) {
+        var cap = cbuf.capacity
+        while (cap < n) cap <<= 1
+        cbuf = java.nio.CharBuffer.allocate(cap)
+      }
+      cbuf.clear()
+      cbuf
+    }
   }
   private val encodeScratch = new ThreadLocal[EncodeScratch] {
     override def initialValue(): EncodeScratch = new EncodeScratch
   }
 
+  /** Shared per-thread line pool for the (single-threaded-per-graph)
+    * H1DQ fast path — see [[graft.rdf.LinePool]]. */
+  private val linePoolLocal = new ThreadLocal[graft.rdf.LinePool] {
+    override def initialValue(): graft.rdf.LinePool = new graft.rdf.LinePool
+  }
+
   /** md.update(s as UTF-8) without materializing the byte array. */
-  private[canon] def updateDigest(md: MessageDigest, s: String): Unit = {
+  private[graft] def updateDigest(md: MessageDigest, s: String): Unit = {
     val sc = encodeScratch.get()
+    val cb = sc.charsFor(s.length)
+    s.getChars(0, s.length, cb.array(), 0)
+    cb.limit(s.length)
+    encodeInto(md, sc, cb)
+  }
+
+  /** [[updateDigest]] over a char-array slice (the line-pool path). */
+  private[graft] def updateDigestChars(md: MessageDigest, chars: Array[Char],
+                                       len: Int): Unit = {
+    val sc = encodeScratch.get()
+    val cb = sc.charsFor(len)
+    System.arraycopy(chars, 0, cb.array(), 0, len)
+    cb.limit(len)
+    encodeInto(md, sc, cb)
+  }
+
+  private def encodeInto(md: MessageDigest, sc: EncodeScratch,
+                         cb: java.nio.CharBuffer): Unit = {
     val enc = sc.encoder
     val buf = sc.buf
-    val cb = java.nio.CharBuffer.wrap(s)
     enc.reset()
     buf.clear()
     var cr = enc.encode(cb, buf, true)
@@ -219,10 +256,9 @@ object Rdfc10 {
     private val scratch = new StringBuilder(128)
 
     /** One a/z-projected canonical line (3.1.1.1: reference bnode ->
-      * "a", any other bnode -> "z") written without materializing a
-      * projected Quad copy. */
-    private def h1dqLine(q: Quad, refId: String): String = {
-      val sb = scratch
+      * "a", any other bnode -> "z") written into `sb` without
+      * materializing a projected Quad copy. */
+    private def h1dqLineInto(q: Quad, refId: String, sb: StringBuilder): Unit = {
       sb.setLength(0)
       if (q.subjectIsBNode) sb.append("_:").append(if (q.s == refId) "a" else "z")
       else NQuadsWriter.writeTerm(q.sKind, q.s, "", "", sb)
@@ -237,35 +273,59 @@ object Rdfc10 {
         else NQuadsWriter.writeTerm(q.gKind, q.g, "", "", sb)
       }
       sb.append(" .\n")
-      sb.toString
     }
 
-    private def h1dqCompute(refId: String): String =
-      log.span("h1dq", "log point: Hash First Degree Quads function (4.6.3).") {
-        val quadsFor = mentions.getOrElse(refId, throw new QuadsNotExistException)
-        val lines = new Array[String](quadsFor.length)
+    private def h1dqCompute(refId: String): String = {
+      val quadsFor = mentions.getOrElse(refId, throw new QuadsNotExistException)
+      // fast (noop-trace) path: lines live in the thread's reused
+      // char pool — no String / char[] pair per line; sort runs over
+      // an index array, digest streams each pooled line through the
+      // encoder scratch. Trace mode (and pathological line counts)
+      // keep the String path.
+      if (!log.isEnabled && quadsFor.length <= graft.rdf.LinePool.MaxPooledLines) {
+        val pool = Rdfc10.linePoolLocal.get()
+        pool.reset()
         var i = 0
         while (i < quadsFor.length) {
-          lines(i) = h1dqLine(quadsFor(i), refId)
+          h1dqLineInto(quadsFor(i), refId, scratch)
+          pool.add(scratch)
           i += 1
         }
-        if (log.isEnabled) {
-          log.event("nquads:")
-          lines.foreach(l => log.event(1, "- " + l.stripSuffix("\n")))
-        }
-        java.util.Arrays.sort(lines, CodePointOrdering)
-        // digest per sorted line — no concatenated copy of the
-        // document, no byte[] per line (encoder scratch)
+        val order = pool.sortedIndices()
         md.reset()
         i = 0
-        while (i < lines.length) {
-          updateDigest(md, lines(i))
+        while (i < quadsFor.length) {
+          updateDigestChars(md, pool.buf(order(i)), pool.len(order(i)))
           i += 1
         }
-        val h = hexOf(md.digest())
-        if (log.isEnabled) log.event("hash: " + h)
-        h
-      }
+        hexOf(md.digest())
+      } else
+        log.span("h1dq", "log point: Hash First Degree Quads function (4.6.3).") {
+          val lines = new Array[String](quadsFor.length)
+          var i = 0
+          while (i < quadsFor.length) {
+            h1dqLineInto(quadsFor(i), refId, scratch)
+            lines(i) = scratch.toString
+            i += 1
+          }
+          if (log.isEnabled) {
+            log.event("nquads:")
+            lines.foreach(l => log.event(1, "- " + l.stripSuffix("\n")))
+          }
+          java.util.Arrays.sort(lines, CodePointOrdering)
+          // digest per sorted line — no concatenated copy of the
+          // document, no byte[] per line (encoder scratch)
+          md.reset()
+          i = 0
+          while (i < lines.length) {
+            updateDigest(md, lines(i))
+            i += 1
+          }
+          val h = hexOf(md.digest())
+          if (log.isEnabled) log.event("hash: " + h)
+          h
+        }
+    }
 
     /** 4.7 Hash Related Blank Node (reference `src/canon.rs:602-654`).
       * (Hot path: every `log` interaction is behind `isEnabled` so the

@@ -13,7 +13,7 @@ package graft.rdf
   * surrogates compare above all BMP characters.
   */
 object CodePointOrdering extends Ordering[String] {
-  @inline private def fix(c: Char): Int =
+  @inline private[rdf] def fix(c: Char): Int =
     if (c >= 0xE000) c - 0x800 else if (c >= 0xD800) c + 0x2000 else c
 
   override def compare(a: String, b: String): Int = {

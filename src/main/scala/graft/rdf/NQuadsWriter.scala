@@ -76,17 +76,21 @@ object NQuadsWriter {
   def statement(q: Quad): String =
     quadBody(q, new StringBuilder(96)).append(" .\n").toString
 
+  /** Shared per-thread line pool: document serialization runs once
+    * per graph inside the single-threaded kernel, so pooled lines are
+    * sorted by index and concatenated without a String per line. */
+  private val poolLocal = new ThreadLocal[LinePool] {
+    override def initialValue(): LinePool = new LinePool
+  }
+
   /** Canonical N-Quads document: statements sorted in code point
     * order, concatenated (`src/canon.rs:1140-1147`). One shared
     * scratch builder — this runs once per graph inside the kernel. */
-  def serializeDocument(quads: Iterable[Quad]): String = {
-    val scratch = new StringBuilder(96)
-    val lines = quads.iterator.map { q =>
-      scratch.setLength(0)
-      quadBody(q, scratch).append(" .\n").toString
-    }.toArray
-    sortConcat(lines)
-  }
+  def serializeDocument(quads: Iterable[Quad]): String =
+    pooledSortConcat(quads) { (q, sb) =>
+      quadBody(q, sb).append(" .\n")
+      ()
+    }
 
   /** [[serializeDocument]] fused with bnode relabeling: each line is
     * written with `sub`-substituted blank-node ids directly, so the
@@ -95,35 +99,64 @@ object NQuadsWriter {
     * `serializeDocument(relabel(quads, issued))` — the canonical
     * document of every graph flows through here, and the kernel is
     * allocation-bound at high core counts (BENCH/BASELINE.md §3). */
-  def serializeRelabeled(quads: Iterable[Quad], sub: String => String): String = {
-    val scratch = new StringBuilder(96)
-    val lines = quads.iterator.map { q =>
-      scratch.setLength(0)
-      if (q.sKind == TermKind.BNode) scratch.append("_:").append(sub(q.s))
-      else writeTerm(q.sKind, q.s, "", "", scratch)
-      scratch.append(' ')
-      writeTerm(TermKind.Iri, q.p, "", "", scratch)
-      scratch.append(' ')
-      if (q.oKind == TermKind.BNode) scratch.append("_:").append(sub(q.o))
-      else writeTerm(q.oKind, q.o, q.oDt, q.oLang, scratch)
+  def serializeRelabeled(quads: Iterable[Quad], sub: String => String): String =
+    pooledSortConcat(quads) { (q, sb) =>
+      if (q.sKind == TermKind.BNode) sb.append("_:").append(sub(q.s))
+      else writeTerm(q.sKind, q.s, "", "", sb)
+      sb.append(' ')
+      writeTerm(TermKind.Iri, q.p, "", "", sb)
+      sb.append(' ')
+      if (q.oKind == TermKind.BNode) sb.append("_:").append(sub(q.o))
+      else writeTerm(q.oKind, q.o, q.oDt, q.oLang, sb)
       if (q.gKind != TermKind.DefaultGraph) {
-        scratch.append(' ')
-        if (q.gKind == TermKind.BNode) scratch.append("_:").append(sub(q.g))
-        else writeTerm(q.gKind, q.g, "", "", scratch)
+        sb.append(' ')
+        if (q.gKind == TermKind.BNode) sb.append("_:").append(sub(q.g))
+        else writeTerm(q.gKind, q.g, "", "", sb)
       }
-      scratch.append(" .\n").toString
-    }.toArray
-    sortConcat(lines)
-  }
+      sb.append(" .\n")
+      ()
+    }
 
-  private def sortConcat(lines: Array[String]): String = {
-    java.util.Arrays.sort(lines, CodePointOrdering)
-    var len = 0
-    var i = 0
-    while (i < lines.length) { len += lines(i).length; i += 1 }
-    val sb = new java.lang.StringBuilder(len) // exact-size, no growth copies
-    i = 0
-    while (i < lines.length) { sb.append(lines(i)); i += 1 }
-    sb.toString
+  /** Render one line per quad into the thread's char pool, sort the
+    * line indices in code point order, concatenate into an exact-size
+    * builder. Falls back to a String-per-line path for pathological
+    * line counts (LinePool.MaxPooledLines) so a one-off mega-graph
+    * cannot pin its high-water pool on the thread. */
+  private def pooledSortConcat(quads: Iterable[Quad])
+                              (write: (Quad, StringBuilder) => Unit): String = {
+    val scratch = new StringBuilder(96)
+    val it = quads.iterator
+    val known = quads.knownSize
+    if (known >= 0 && known <= LinePool.MaxPooledLines) {
+      val pool = poolLocal.get()
+      pool.reset()
+      while (it.hasNext) {
+        scratch.setLength(0)
+        write(it.next(), scratch)
+        pool.add(scratch)
+      }
+      val order = pool.sortedIndices()
+      val sb = new java.lang.StringBuilder(pool.totalLength)
+      var i = 0
+      while (i < pool.n) {
+        sb.append(pool.buf(order(i)), 0, pool.len(order(i)))
+        i += 1
+      }
+      sb.toString
+    } else {
+      val lines = it.map { q =>
+        scratch.setLength(0)
+        write(q, scratch)
+        scratch.toString
+      }.toArray
+      java.util.Arrays.sort(lines, CodePointOrdering)
+      var len = 0
+      var i = 0
+      while (i < lines.length) { len += lines(i).length; i += 1 }
+      val sb = new java.lang.StringBuilder(len) // exact-size, no growth copies
+      i = 0
+      while (i < lines.length) { sb.append(lines(i)); i += 1 }
+      sb.toString
+    }
   }
 }

@@ -78,7 +78,10 @@ object CanonEngine {
   def sha256Hex(s: String): String = {
     val md = sha256Local.get()
     md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stream through the kernel's encoder scratch: no byte[] copy of
+    // the (possibly multi-KB) canonical document per graph
+    Rdfc10.updateDigest(md, s)
+    val d = md.digest()
     val out = new Array[Char](d.length * 2)
     var i = 0
     while (i < d.length) {
@@ -92,11 +95,31 @@ object CanonEngine {
       "\"" + escape(k) + "\":\"" + escape(v) + "\""
     }.mkString("{", ",", "}")
 
-  private def escape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
+  /** JSON string escape; returns `s` itself (zero allocation) when
+    * nothing needs escaping — the common case for bnode labels. The
+    * slow path appends chars directly (the previous flatMap built a
+    * String per character). */
+  private def escape(s: String): String = {
+    val n = s.length
+    var i = 0
+    var clean = true
+    while (i < n && clean) {
+      val c = s.charAt(i)
+      clean = c != '"' && c != '\\' && c >= ' '
+      i += 1
+    }
+    if (clean) return s
+    val sb = new java.lang.StringBuilder(n + 8)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '"') sb.append("\\\"")
+      else if (c == '\\') sb.append("\\\\")
+      else if (c < ' ') sb.append(f"\\u${c.toInt}%04x")
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
   }
 
   /** Canonicalize one graph's quads (driver-side / in-task helper).
