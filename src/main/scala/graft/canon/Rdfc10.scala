@@ -104,7 +104,15 @@ object Rdfc10 {
   /** Digest instances reused per thread (one State per graph, graphs
     * run single-threaded): `MessageDigest.getInstance` is a provider
     * lookup + allocation per call, and the bench canonicalizes tens of
-    * thousands of graphs per task. */
+    * thousands of graphs per task.
+    *
+    * INVARIANT (shared with encodeScratch/linePoolLocal below): a
+    * thread runs AT MOST ONE canonicalization at a time, start to
+    * finish — every caller drives `issue` eagerly and never interleaves
+    * two graphs on one thread (no lazy result iterators, no nested
+    * canonicalize call inside the kernel). Interleaving would corrupt
+    * the shared digest/scratch state silently; if a future caller
+    * needs it, give State its own instances instead. */
   private val digestCache = new ThreadLocal[mutable.HashMap[String, MessageDigest]] {
     override def initialValue(): mutable.HashMap[String, MessageDigest] =
       mutable.HashMap.empty

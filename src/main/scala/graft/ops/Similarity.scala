@@ -235,7 +235,16 @@ object Similarity {
       var d = 0
       val nd = math.min(dims, v.length) // ragged input: dotF min-guards, so must the sum
       while (d < nd) {
-        cell._2(d) += math.rint(v(d).toDouble * LloydFixedPoint).toLong
+        val x = v(d)
+        // magnitude/finiteness precondition of the fixed-point sums
+        // (headroom math: 2^18 rows x 2^20 magnitude x 2^24 scale =
+        // 2^62): a NaN/Inf or out-of-range coordinate would otherwise
+        // become 0 / Long.MaxValue via rint(..).toLong and produce
+        // silently garbage centroids — fail loudly instead.
+        require(java.lang.Float.isFinite(x) && math.abs(x) <= (1 << 20).toFloat,
+          s"refineCentroids: non-finite or |v| > 2^20 coordinate $x " +
+            "(fixed-point Lloyd precondition)")
+        cell._2(d) += math.rint(x.toDouble * LloydFixedPoint).toLong
         d += 1
       }
     }

@@ -56,17 +56,50 @@ object Incremental {
   def repoBucket(nBuckets: Int): Column =
     pmod(xxhash64(col("repo")), lit(nBuckets.toLong)).cast("int")
 
+  /** Name of the tiny layout-metadata file persisted next to a
+    * bucketed corpus: holds the nBuckets the layout was WRITTEN with,
+    * so a later [[runBucketed]] cannot silently prune with a different
+    * bucket function (a mismatch would drop changed repos' files from
+    * the static partition filter — silent state data loss). */
+  private val BucketsMetaFile = "_graft_nbuckets"
+
+  private def bucketsMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, BucketsMetaFile)
+
+  /** The persisted nBuckets of a [[writeBucketed]] layout, if any. */
+  def readLayoutBuckets(spark: SparkSession, path: String): Option[Int] =
+    try {
+      val p = bucketsMetaPath(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Write the corpus partitioned by repo bucket — the layout that
     * turns [[run]]'s deployment note into reality: the changed-repo
     * filter becomes a PARTITION filter, so unchanged buckets are never
     * read from storage (see [[prunedChangedFiles]]). One task per
-    * bucket keeps one file per partition directory. */
+    * bucket keeps one file per partition directory. The bucket count
+    * is persisted alongside the data ([[BucketsMetaFile]]) and
+    * validated by [[runBucketed]]. */
   def writeBucketed(files: Dataset[FileRow], path: String,
-                    nBuckets: Int = 64): Unit =
+                    nBuckets: Int = 64): Unit = {
     files.toDF()
       .withColumn(RepoBucketCol, repoBucket(nBuckets))
       .repartition(col(RepoBucketCol))
       .write.partitionBy(RepoBucketCol).mode("overwrite").parquet(path)
+    val p = bucketsMetaPath(path)
+    val fs = p.getFileSystem(
+      files.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nBuckets.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** The bucketed corpus back as FileRow (bucket column dropped; it is
     * derivable from repo and only exists for partition pruning). */
@@ -327,8 +360,22 @@ object Incremental {
                   opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default,
                   prevAliases: Option[DataFrame] = None,
                   nBuckets: Int = 64): Increment = {
+    // the layout's OWN bucket count wins; a caller-supplied count that
+    // disagrees with it is a hard error, not a silent wrong partition
+    // filter (changed repos' files would be dropped from the pruned
+    // read — silent state data loss)
+    val effBuckets = readLayoutBuckets(spark, corpusPath) match {
+      case Some(persisted) =>
+        require(nBuckets == persisted,
+          s"runBucketed: nBuckets=$nBuckets does not match the bucketed " +
+            s"layout at $corpusPath (written with nBuckets=$persisted); " +
+            "a mismatched bucket function would silently drop changed " +
+            "repos from the static partition filter")
+        persisted
+      case None => nBuckets // pre-metadata layout: trust the caller
+    }
     val bucketed = spark.read.parquet(corpusPath)
     run(readBucketed(spark, corpusPath), dictNames, prev, opts, prevAliases,
-      changedFilesReader = Some(prunedChangedFiles(bucketed, _, nBuckets)))
+      changedFilesReader = Some(prunedChangedFiles(bucketed, _, effBuckets)))
   }
 }

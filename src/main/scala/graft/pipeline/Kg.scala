@@ -289,8 +289,17 @@ object Kg {
     * exchange and three. The staged path remains for pipelines that
     * materialize the triple table (metrics / downstream consumers).
     */
+  /** Hard bound on the entity→canonical dictionary the fused path may
+    * collect/broadcast (rows). The dictionary is broadcast-sized BY
+    * DESIGN (the link join already ships it whole to every executor),
+    * but the bound used to be implicit; past it the fused path now
+    * fails fast with a pointer to the staged chain instead of
+    * attempting an unbounded driver collect. */
+  val MaxFusedDictRows: Int = 5000000
+
   def canonicalizeFromMentions(linked: Dataset[LinkedMention], canonMap: DataFrame,
-                               opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default)
+                               opts: graft.canon.CanonOptions = graft.canon.CanonOptions.default,
+                               maxDictRows: Int = MaxFusedDictRows)
       : Dataset[graft.spark.CanonResult] = {
     val spark = linked.sparkSession
     import spark.implicits._
@@ -309,9 +318,19 @@ object Kg {
     // for astral-plane names (Java string order would diverge there;
     // a mention CAN carry several same-offset candidates whenever two
     // dictionary entries clear the link-score threshold).
+    // the collect is gated by an early-stopping limit probe (the
+    // probe IS the data when it passes — one pass, driver memory
+    // bounded at maxDictRows + 1 rows even on a pathological input)
     val canonPairs = canonMap
       .select(col("entity").cast("string"), col("canonical").cast("string"))
-      .as[(String, String)].collect()
+      .as[(String, String)].limit(maxDictRows + 1).collect()
+    if (canonPairs.length > maxDictRows)
+      throw new IllegalStateException(
+        s"canonicalizeFromMentions: canonical dictionary exceeds " +
+          s"$maxDictRows rows; the fused path collects and broadcasts " +
+          "it whole. Use the staged chain instead (emitTriples -> " +
+          "dedupTriples -> canonicalizeTriples), which never " +
+          "materializes the dictionary on the driver")
     val canonIdx: Array[String] =
       canonPairs.map(_._2).distinct.sorted(graft.rdf.CodePointOrdering)
     val idOf = canonIdx.zipWithIndex.toMap

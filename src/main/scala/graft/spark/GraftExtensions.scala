@@ -315,6 +315,16 @@ case class Rdfc10CanonDataset(
           "discarded and rebuilt")
     val nullKindRows = in.readLong()
     val n = in.readInt()
+    // sanity-check the decoded counts before trusting the buffer: a
+    // legacy (pre-version-byte) buffer whose leading writeInt(size)
+    // had size >= 0x02000000 would have read byte 2 as a "valid"
+    // version and decoded garbage — negative or absurd counts catch
+    // that residual ambiguity loudly.
+    if (nullKindRows < 0 || n < 0 || n.toLong * 9 > bytes.length)
+      throw new IllegalStateException(
+        s"rdfc10_canon_dataset buffer is corrupt or from an unsupported " +
+          s"release (nullKindRows=$nullKindRows, quads=$n, " +
+          s"${bytes.length} bytes); discard and rebuild the state")
     val quads = mutable.LinkedHashSet.empty[Quad]
     var i = 0
     while (i < n) {

@@ -259,6 +259,17 @@ class IncrementalSpec extends AnyFunSuite {
       df.collect().map(_.toString).sorted.toSeq
     assert(rows(incBucketed.state) == rows(incPlain.state))
     assert(rows(incBucketed.newDocs) == rows(incPlain.newDocs))
+
+    // layout metadata: a mismatched nBuckets must fail LOUDLY, never
+    // silently prune with the wrong bucket function (the partition
+    // filter would drop changed repos' files — silent data loss)
+    assert(Incremental.readLayoutBuckets(spark, pathB).contains(nBuckets))
+    val err = intercept[IllegalArgumentException] {
+      Incremental.runBucketed(spark, pathB, dictNames,
+        Some((inc0.ccFingerprint, state0)), nBuckets = nBuckets * 2)
+    }
+    assert(err.getMessage.contains("does not match the bucketed layout"),
+      err.getMessage)
     state0.unpersist()
   }
 }

@@ -148,6 +148,14 @@ class KgPipelineSpec extends AnyFunSuite {
     val fused = Kg.canonicalizeFromMentions(linked, cc)
       .collect().map(r => r.key -> r.outputSha256).toMap
     assert(fused == staged)
+
+    // the fused path's dictionary collect is explicitly bounded: past
+    // the cap it must fail fast with a pointer to the staged chain,
+    // never attempt an unbounded driver collect
+    val err = intercept[IllegalStateException] {
+      Kg.canonicalizeFromMentions(linked, cc, maxDictRows = 1).collect()
+    }
+    assert(err.getMessage.contains("staged chain"), err.getMessage)
   }
 
   test("fused tie ordering matches staged for astral-plane entity names") {
