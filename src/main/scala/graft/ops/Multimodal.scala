@@ -108,7 +108,11 @@ object Multimodal {
     * WAV, and GMJ1 PNG-frame video — see class doc). */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(0, n, 1, numPartitions = 8).map { id =>
+    // width = cluster parallelism (scale-adaptive, not a constant):
+    // the per-row payload ENCODE (ImageIO PNG) is the expensive part,
+    // and a fixed 8 ran it at a quarter of the bench cores
+    spark.range(0, n, 1,
+      numPartitions = spark.sparkContext.defaultParallelism).map { id =>
       val h = mix64(seed ^ id)
       val kind = (h & 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"

@@ -21,25 +21,47 @@ final case class AliasEdge(src: String, dst: String)
   */
 object Kg {
 
-  private val TokenRe = java.util.regex.Pattern.compile("\\b[A-Z][A-Za-z0-9]*\\b")
   private[pipeline] val AliasRe = java.util.regex.Pattern.compile("// alias: (\\S+) (\\S+)")
 
-  /** Mention detection: batched regex scan per file via mapPartitions
-    * (pattern compiled once per partition; dictionary is a broadcast
-    * hash set — no shuffle, no UDF-per-row overhead). */
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Mention detection via a manual word-run scan (mapPartitions; the
+    * dictionary is a broadcast hash set — no shuffle, no UDF-per-row
+    * overhead). Semantics are EXACTLY `\b[A-Z][A-Za-z0-9]*\b` with
+    * Java's default (ASCII) word classes: a maximal `\w+` run matches
+    * iff it starts with [A-Z] and contains no '_' (an interior '_' or
+    * lowercase start leaves no word boundary anywhere inside the run,
+    * so the regex could not match a sub-run either. Pinned by the
+    * planted-truth P/R=1 test and the q26 golden oracle.). The manual
+    * scan drops the per-file Matcher machinery from the corpus-scan
+    * hot path. */
   def detectMentions(files: Dataset[FileRow],
                      dict: Broadcast[Set[String]]): Dataset[Mention] = {
     val spark = files.sparkSession
     import spark.implicits._
     files.mapPartitions { it =>
-      val re = TokenRe
       it.flatMap { f =>
-        val m = re.matcher(f.content)
+        val s = f.content
+        val n = s.length
         val out = Vector.newBuilder[Mention]
-        while (m.find()) {
-          val tok = m.group()
-          if (dict.value.contains(tok))
-            out += Mention(f.repo, f.path, tok, m.start().toLong, tok)
+        var i = 0
+        while (i < n) {
+          if (isWordChar(s.charAt(i))) {
+            val start = i
+            var underscore = false
+            while (i < n && isWordChar(s.charAt(i))) {
+              if (s.charAt(i) == '_') underscore = true
+              i += 1
+            }
+            val c0 = s.charAt(start)
+            if (!underscore && c0 >= 'A' && c0 <= 'Z') {
+              val tok = s.substring(start, i)
+              if (dict.value.contains(tok))
+                out += Mention(f.repo, f.path, tok, start.toLong, tok)
+            }
+          } else i += 1
         }
         out.result()
       }
