@@ -69,12 +69,13 @@ object KgPipeline {
       manifest.contains(name) &&
         Files.exists(Paths.get(stageDir(name), "_SUCCESS"))
 
-    /** Run `build` unless the stage is already complete; returns the
-      * stage's DataFrame (reloaded from Parquet either way, so
-      * downstream lineage starts at a scan). */
-    def stage(name: String)(build: => DataFrame): DataFrame = {
+    /** Run `write` (materializing into the stage dir) unless the
+      * stage is already complete; returns the stage's DataFrame
+      * (reloaded from Parquet either way, so downstream lineage starts
+      * at a scan). */
+    def stageWith(name: String)(write: String => Unit): DataFrame = {
       if (!complete(name)) {
-        build.write.mode(SaveMode.Overwrite).parquet(stageDir(name))
+        write(stageDir(name))
         val rows = spark.read.parquet(stageDir(name)).count()
         manifest += name -> rows
         saveManifest()
@@ -85,12 +86,21 @@ object KgPipeline {
       spark.read.parquet(stageDir(name))
     }
 
+    def stage(name: String)(build: => DataFrame): DataFrame =
+      stageWith(name)(dir => build.write.mode(SaveMode.Overwrite).parquet(dir))
+
     def run(): PipelineReport = {
       val dictNames = (0 until cfg.nEntities).map(Corpus.entityName)
       val dictBc = spark.sparkContext.broadcast(dictNames.toSet)
       val dictDf = dictNames.toDF("name")
 
-      val corpus = stage("corpus")(Corpus.generate(spark, cfg).toDF())
+      // corpus materializes in the PRUNABLE repo-bucket layout by
+      // default (round-5 proved it via IncrementalBench only): an
+      // incremental consumer of this corpus gets static partition
+      // pruning for free, and the layout's nBuckets is persisted +
+      // validated by Incremental.runBucketed
+      val corpus = stageWith("corpus")(dir =>
+        Incremental.writeBucketed(Corpus.generate(spark, cfg), dir))
 
       // per-row content sha256 invariant: generator hash (JVM
       // MessageDigest) vs Spark's independent sha2 codegen expression
@@ -99,7 +109,7 @@ object KgPipeline {
         .limit(1).count()
       require(violations == 0, s"content sha256 invariant violated")
 
-      val files = corpus.as[FileRow]
+      val files = corpus.drop(Incremental.RepoBucketCol).as[FileRow]
       val mentions = stage("mentions")(Kg.detectMentions(files, dictBc).toDF())
       val aliases = stage("aliases")(Kg.detectAliases(files).toDF())
       val linked = stage("links")(
