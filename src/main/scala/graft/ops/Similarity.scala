@@ -120,37 +120,106 @@ object Similarity {
     sig
   }
 
-  /** Distinct undirected same-bucket candidate id pairs from an
-    * (id, band, bucket) assignment table, with the hot-bucket star
-    * guard (buckets past maxBucket degrade to member↔min-id pairs).
-    * Output: (id_a < id_b); carries ids ONLY — vectors re-join by id
-    * afterwards. */
-  private def starGuardedPairs(assigned: DataFrame, maxBucket: Int): DataFrame =
-    LshUtil.bucketPairs(assigned, Seq("band", "bucket"), maxBucket)
+  /** Same-bucket pair cosines computed CELL-LOCALLY: the banded rows
+    * carry (id, v, nrm) into ONE hash exchange on (band, bucket) with
+    * a secondary sort on id, and a single streaming pass per bucket
+    * emits (id_a, id_b, cos) — all pairs for buckets <= maxBucket,
+    * hub↔member star pairs past it (hub = min id = the sorted group's
+    * first row; task memory stays bounded at maxBucket + 1 buffered
+    * rows regardless of bucket size). Compared to the previous
+    * id-pairs-then-join-vectors shape, the candidate set is never
+    * joined back to the vector table at all — at sf1 scale the two
+    * sort-merge joins re-attaching vectors to ~50M candidate rows
+    * dominated q30/q35; moving each vector once per band into its
+    * bucket is strictly less data motion. A pair that shares several
+    * buckets computes the SAME cosine each time (dotF over the same
+    * vectors is bit-deterministic), so the dropDuplicates after is
+    * byte-equivalent to the old dedup-before-join order. Output:
+    * distinct (id_a < id_b, cos). */
+  private def bucketCosPairs(banded: org.apache.spark.sql.Dataset[(Long, Int, Long, Array[Float], Double)],
+                             maxBucket: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    banded.toDF("id", "band", "bucket", "v", "nrm")
+      .repartition(parts, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket", "id")
+      .as[(Long, Int, Long, Array[Float], Double)]
+      .mapPartitions { rows =>
+        val bit = rows.buffered
+        new Iterator[(Long, Long, Double)] {
+          private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+          private def advance(): Unit =
+            while (!out.hasNext && bit.hasNext) {
+              val band = bit.head._2
+              val bucket = bit.head._3
+              val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]
+              while (bit.hasNext && bit.head._2 == band && bit.head._3 == bucket &&
+                     buf.length <= maxBucket) {
+                val r = bit.next()
+                buf += ((r._1, r._4, r._5))
+              }
+              if (buf.length <= maxBucket) {
+                // complete small bucket (ids ascending): all pairs i < j
+                val k = buf.length
+                out = (0 until k).iterator.flatMap { i =>
+                  val (ia, va, na) = buf(i)
+                  ((i + 1) until k).iterator.map { j =>
+                    val (ib, vb, nb) = buf(j)
+                    (ia, ib, dotF(va, vb) / (na * nb))
+                  }
+                }
+              } else {
+                // hot bucket (> maxBucket members): star pairs only
+                val (hid, hv, hn) = buf(0)
+                val bufStars = (1 until buf.length).iterator.map { i =>
+                  val (ib, vb, nb) = buf(i)
+                  (hid, ib, dotF(hv, vb) / (hn * nb))
+                }
+                val restStars = new Iterator[(Long, Long, Double)] {
+                  def hasNext: Boolean =
+                    bit.hasNext && bit.head._2 == band && bit.head._3 == bucket
+                  def next(): (Long, Long, Double) = {
+                    val r = bit.next()
+                    (hid, r._1, dotF(hv, r._4) / (hn * r._5))
+                  }
+                }
+                out = bufStars ++ restStars
+              }
+            }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (Long, Long, Double) = { advance(); out.next() }
+        }
+      }.toDF("id_a", "id_b", "cos")
+      .dropDuplicates("id_a", "id_b")
+  }
 
-  /** Candidate pairs from random-hyperplane band signatures. */
-  private def rhpCandidates(u: DataFrame, bands: Int, bitsPerBand: Int,
-                            seed: Long, maxBucket: Int): DataFrame = {
+  /** Distinct same-bucket pair cosines from random-hyperplane band
+    * signatures (see [[bucketCosPairs]] for the execution shape). */
+  private def rhpCosPairs(u: DataFrame, bands: Int, bitsPerBand: Int,
+                          seed: Long, maxBucket: Int): DataFrame = {
     val spark = u.sparkSession
     import spark.implicits._
     val nBits = bands * bitsPerBand
     require(nBits <= 63, "bands * bitsPerBand must be <= 63")
-    val banded = u.select(col("id"), col("v")).as[(Long, Array[Float])]
-      .mapPartitions(_.flatMap { case (id, v) =>
+    val banded = u.select(col("id"), col("v"), col("nrm"))
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions(_.flatMap { case (id, v, nrm) =>
         val sig = rhpSig(v, nBits, seed)
         (0 until bands).iterator.map { b =>
-          (id, b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1))
+          (id, b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1), v, nrm)
         }
-      }).toDF("id", "band", "bucket")
-    starGuardedPairs(banded, maxBucket)
+      })
+    bucketCosPairs(banded, maxBucket)
   }
 
-  private def withCos(pairs: DataFrame, u: DataFrame): DataFrame = {
-    val a = u.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val b = u.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
-    pairs.join(a, "id_a").join(b, "id_b")
-      .withColumn("cos", dotUdf(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
-  }
+  /** Mirror of an undirected (id_a < id_b, cos) pair table for per-id
+    * ranking — the cosine is symmetric (dotF's summation order does
+    * not depend on argument order), so the mirrored rows carry the
+    * identical double. */
+  private def mirrored(undirected: DataFrame): DataFrame =
+    undirected.union(undirected.select(
+      col("id_b").as("id_a"), col("id_a").as("id_b"), col("cos")))
 
   /** ANN top-k: signature bands as buckets (multi-probe), exact
     * cosine ranking inside buckets. `bitsPerBand` controls the
@@ -166,11 +235,7 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxBucket: Int = 2000): DataFrame = {
     val u = withNorms(vecs, idCol, vecCol)
-    val undirected = rhpCandidates(u, bands, bitsPerBand, seed, maxBucket)
-    // mirror for per-id top-k
-    val directed = undirected.union(
-      undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    rankTopK(withCos(directed, u), k)
+    rankTopK(mirrored(rhpCosPairs(u, bands, bitsPerBand, seed, maxBucket)), k)
   }
 
   /** BOUNDED centroid selection for [[ivfTopK]]: the `nCentroids`
@@ -435,13 +500,10 @@ object Similarity {
           cs.map { case (cid, cv, cn) => (cid, dotF(v, cv) / (nrm * cn)) }
             .sortBy { case (cid, cos) => (-cos, cid) }
             .take(nprobe)
-            .iterator.map { case (cid, _) => (id, 0, cid) }
+            .iterator.map { case (cid, _) => (id, 0, cid, v, nrm) }
         }
-      }.toDF("id", "band", "bucket")
-    val undirected = starGuardedPairs(assigned, maxBucket)
-    val directed = undirected.union(
-      undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    rankTopK(withCos(directed, u), k)
+      }
+    rankTopK(mirrored(bucketCosPairs(assigned, maxBucket)), k)
   }
 
   /** SUBLINEAR centroid law for [[ivfTopKAuto]]:
@@ -494,8 +556,7 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    maxBucket: Int = 2000): DataFrame = {
     val u = withNorms(vecs, idCol, vecCol)
-    val undirected = rhpCandidates(u, bands, bitsPerBand, seed, maxBucket)
-    withCos(undirected, u)
+    rhpCosPairs(u, bands, bitsPerBand, seed, maxBucket)
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
