@@ -424,27 +424,91 @@ object Dedup {
     // first `rem` chunks are one bit wider; offsets cover all 64 bits
     val widths = (0 until nChunks).map(c => if (c < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    // feeds the chunk explode AND both verify sides (cache optional —
-    // see LshUtil.maybePersist)
-    val withSim = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // chunk rows CARRY the 8-byte simhash into their buckets, and the
+    // hamming is computed cell-locally in one streaming pass per
+    // bucket (same shape as Similarity.bucketCosPairs: all pairs for
+    // buckets <= maxBucket, hub-star past it, task memory bounded at
+    // maxBucket + 1 rows). The previous id-pairs shape joined the sim
+    // table back onto the candidate set twice; for an 8-byte payload,
+    // carrying it beats two join shuffles at any scale.
+    val chunked = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simhash64(t)) })
-      .toDF("id", "sim")
-      .transform(maybePersist)
-    val chunked = withSim.select(col("id"),
-      posexplode(array((0 until nChunks).map { c =>
-        // width 64 (maxHamming = 0, one chunk): (1L << 64) is a mod-64
-        // JVM shift = 1, so the mask formula would be 0 and every doc
-        // would share bucket 0 — the full-word mask is -1L
-        val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
-        shiftright(col("sim"), offsets(c)).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("chunk", "val")))
-    val cand = bucketPairs(chunked, Seq("chunk", "val"), maxBucket)
-    val a = withSim.select(col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = withSim.select(col("id").as("id_b"), col("sim").as("sim_b"))
-    cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val sim = simhash64(t)
+        (0 until nChunks).iterator.map { c =>
+          // width 64 (maxHamming = 0, one chunk): (1L << 64) is a
+          // mod-64 JVM shift = 1, so the mask formula would be 0 and
+          // every doc would share bucket 0 — the full-word mask is -1L
+          val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+          (id, c, (sim >>> offsets(c)) & mask, sim)
+        }
+      })
+    chunkLocalHamming(chunked, maxBucket)
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Distinct same-bucket pair hammings from (id, chunk, val, sim)
+    * rows — the cell-local combine of [[simhashPairs]]: one hash
+    * exchange on (chunk, val) with a secondary sort on id, a
+    * streaming pass per bucket (all pairs <= maxBucket, hub-star
+    * beyond, bounded buffering), then an id-pair dedup. Duplicate
+    * pairs across chunks carry the identical hamming, so keeping any
+    * one row is exact. */
+  private def chunkLocalHamming(rows: org.apache.spark.sql.Dataset[(Long, Int, Long, Long)],
+                                maxBucket: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    rows.toDF("id", "chunk", "val", "sim")
+      .repartition(parts, col("chunk"), col("val"))
+      .sortWithinPartitions("chunk", "val", "id")
+      .as[(Long, Int, Long, Long)]
+      .mapPartitions { rs =>
+        val bit = rs.buffered
+        new Iterator[(Long, Long, Int)] {
+          private var out: Iterator[(Long, Long, Int)] = Iterator.empty
+          private def advance(): Unit =
+            while (!out.hasNext && bit.hasNext) {
+              val chunk = bit.head._2
+              val v = bit.head._3
+              val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+              while (bit.hasNext && bit.head._2 == chunk && bit.head._3 == v &&
+                     buf.length <= maxBucket) {
+                val r = bit.next()
+                buf += ((r._1, r._4))
+              }
+              if (buf.length <= maxBucket) {
+                val k = buf.length
+                out = (0 until k).iterator.flatMap { i =>
+                  val (ia, sa) = buf(i)
+                  ((i + 1) until k).iterator.map { j =>
+                    val (ib, sb) = buf(j)
+                    (ia, ib, java.lang.Long.bitCount(sa ^ sb))
+                  }
+                }
+              } else {
+                val (hid, hsim) = buf(0)
+                val bufStars = (1 until buf.length).iterator.map { i =>
+                  val (ib, sb) = buf(i)
+                  (hid, ib, java.lang.Long.bitCount(hsim ^ sb))
+                }
+                val restStars = new Iterator[(Long, Long, Int)] {
+                  def hasNext: Boolean =
+                    bit.hasNext && bit.head._2 == chunk && bit.head._3 == v
+                  def next(): (Long, Long, Int) = {
+                    val r = bit.next()
+                    (hid, r._1, java.lang.Long.bitCount(hsim ^ r._4))
+                  }
+                }
+                out = bufStars ++ restStars
+              }
+            }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (Long, Long, Int) = { advance(); out.next() }
+        }
+      }.toDF("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 }
