@@ -87,10 +87,18 @@ object Dedup {
                            k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // explicit hash(id) exchange so every consumer — banding/postings
+    // AND both exact-verify join sides (which join on aliased id and
+    // inherit this partitioning through the alias) — reuses ONE
+    // computation of the shingle kernel instead of re-scanning and
+    // re-hashing the corpus per subtree (same ReuseExchange pattern as
+    // the inverted-postings repartition; kernel cost dominates at sf1)
+    val numParts = spark.sessionState.conf.numShufflePartitions
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, shingleHashes(text, k)) })
       .toDF("id", "sh")
+      .repartition(numParts, col("id"))
       .transform(maybePersist)
   }
 
