@@ -47,6 +47,26 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - expect) < 1e-9)
   }
 
+  test("PROPERTY: threshold early-exit jaccard is exact on the emitted side") {
+    // jaccardSortedMin must (a) return the EXACT jaccard whenever the
+    // true value is >= t (the early exit is unreachable there), and
+    // (b) agree with the filter decision everywhere: its result is
+    // >= t exactly when the true jaccard is
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val na = 1 + rnd.nextInt(60)
+      val nb = 1 + rnd.nextInt(60)
+      val pool = Array.tabulate(40)(i => rnd.nextLong() | (i.toLong << 1))
+      val a = Array.fill(na)(pool(rnd.nextInt(pool.length))).distinct.sorted
+      val b = Array.fill(nb)(pool(rnd.nextInt(pool.length))).distinct.sorted
+      val t = rnd.nextInt(11) / 10.0
+      val exact = Dedup.jaccardSorted(a, b)
+      val fast = Dedup.jaccardSortedMin(a, b, t)
+      assert((fast >= t) == (exact >= t), s"filter drift at t=$t: $fast vs $exact")
+      if (exact >= t) assert(fast == exact, s"value drift at t=$t")
+    }
+  }
+
   test("PROPERTY: prefix-filtered jaccard join is lossless vs brute force") {
     // the All-Pairs/PPJoin prefix principle: with no df cut, the
     // prefix-indexed candidate set must contain EVERY pair at
