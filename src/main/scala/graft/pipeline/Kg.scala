@@ -68,16 +68,42 @@ object Kg {
     }
   }
 
-  /** Alias facts found in content (drive entity merging). */
+  // java.util.regex \s for the manual alias scan below
+  @inline private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Alias facts found in content (drive entity merging). Manual scan
+    * implementing `// alias: (\S+) (\S+)` exactly: indexOf finds each
+    * literal prefix, the two maximal non-whitespace runs must be
+    * non-empty and separated by a single literal space; on a failed
+    * group the scan resumes one char later (like Matcher.find), on a
+    * match it resumes at the match end. Same corpus-scan hot-path
+    * motivation as detectMentions. */
   def detectAliases(files: Dataset[FileRow]): Dataset[AliasEdge] = {
     val spark = files.sparkSession
     import spark.implicits._
     files.mapPartitions { it =>
-      val re = AliasRe
       it.flatMap { f =>
-        val m = re.matcher(f.content)
+        val s = f.content
+        val n = s.length
         val out = Vector.newBuilder[AliasEdge]
-        while (m.find()) out += AliasEdge(m.group(1), m.group(2))
+        var i = s.indexOf("// alias: ")
+        while (i >= 0) {
+          var p = i + 10
+          val s1 = p
+          while (p < n && !isRegexWs(s.charAt(p))) p += 1
+          var resume = i + 1
+          if (p > s1 && p < n && s.charAt(p) == ' ') {
+            val s2 = p + 1
+            p = s2
+            while (p < n && !isRegexWs(s.charAt(p))) p += 1
+            if (p > s2) {
+              out += AliasEdge(s.substring(s1, s2 - 1), s.substring(s2, p))
+              resume = p
+            }
+          }
+          i = if (resume < n) s.indexOf("// alias: ", resume) else -1
+        }
         out.result()
       }
     }.dropDuplicates("src", "dst")
