@@ -179,12 +179,13 @@ object Dedup {
     // string order, which the DuckDB oracle uses): flip the sign bit
     val w = Window.partitionBy("id")
       .orderBy(col("df"), col("shingle").bitwiseXOR(lit(Long.MinValue)))
-    // consumed by the rare-list join and the unindexed-docs stat
-    // (cache optional — see LshUtil.maybePersist)
+    // keeps the full-df column: the rare/over split and the stats
+    // aggregates are plain predicates on it, so consumers never join
+    // back to the df table (cache optional — see LshUtil.maybePersist)
     inverted.join(dfc, "shingle")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "shingle")
+      .select("id", "shingle", "df")
       .transform(maybePersist)
   }
 
@@ -288,14 +289,16 @@ object Dedup {
     // FULL per-shingle document frequency — the single df table both
     // the plan gate's rare/over split and the prefix order use
     val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // both plans carry the FULL per-shingle df on the postings
+    // (prefixPostings keeps it; the full plan joins it on the shared
+    // shingle partitioning — no exchange), so the rare split below is
+    // a plain predicate instead of a join back to the df table
     val pre =
       if (usePrefix) prefixPostings(inverted, dfc, threshold)
-      else inverted.select("id", "shingle")
-    // rare path: join the (small) rare-key set back BEFORE collecting,
-    // so no aggregation buffer ever exceeds maxDf ids
-    val rareKeys = dfc.where(col("df") <= maxDf && col("df") >= 2)
-      .select("shingle")
-    val rareLists = pre.join(rareKeys, "shingle")
+      else inverted.join(dfc, "shingle").select("id", "shingle", "df")
+    // rare path: filter to in-cap shingles BEFORE collecting, so no
+    // aggregation buffer ever exceeds maxDf ids
+    val rareLists = pre.where(col("df") <= maxDf && col("df") >= 2)
       .groupBy("shingle").agg(collect_list("id").as("ids"))
     val cand = rareLists
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -343,20 +346,26 @@ object Dedup {
         col("shingle"))
     val dfc = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
     val pre = prefixPostings(inverted, dfc, threshold)
-    val nPrefixShingles = pre.agg(
-      count_distinct(col("shingle")).as("n_shingles"))
+    // three aggregation branches instead of the previous five-branch
+    // shape (distinct-prefix count, over-df aggs, plus a sh-distinct
+    // anti-join for the unindexed docs): n_docs_unindexed is counted
+    // as (all docs) − (docs with an in-cap prefix posting) — every
+    // doc has ≥ 1 shingle, so distinct ids over the postings ARE the
+    // doc count. Same values, fewer stages (q28's sf0.1 cost was
+    // stage-count latency, not compute).
+    val preAgg = pre.agg(
+      count_distinct(col("shingle")).as("n_shingles"),
+      count_distinct(when(col("df") <= maxDf && col("df") >= 2, col("id")))
+        .as("n_docs_indexed"))
     // over-df stats come from the GLOBAL df table — the same key set
     // the pair join's star path degrades, prefix-present or not
-    val shingleAgg = nPrefixShingles.crossJoin(dfc.agg(
+    val overAgg = dfc.agg(
       sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_overdf"),
-      sum(when(col("df") > maxDf, col("df")).otherwise(0L)).as("overdf_mass")))
-    val indexed = pre.join(
-        dfc.where(col("df") <= maxDf && col("df") >= 2), "shingle")
-      .select("id").distinct()
-    val unindexed = sh.select("id").distinct()
-      .join(indexed, Seq("id"), "left_anti")
-      .agg(count(lit(1)).as("n_docs_unindexed"))
-    shingleAgg.crossJoin(unindexed)
+      sum(when(col("df") > maxDf, col("df")).otherwise(0L)).as("overdf_mass"))
+    val docAgg = inverted.agg(count_distinct(col("id")).as("n_docs"))
+    preAgg.crossJoin(overAgg).crossJoin(docAgg)
+      .select(col("n_shingles"), col("n_overdf"), col("overdf_mass"),
+        (col("n_docs") - col("n_docs_indexed")).as("n_docs_unindexed"))
   }
 
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
