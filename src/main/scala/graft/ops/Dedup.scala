@@ -185,7 +185,7 @@ object Dedup {
     inverted.join(dfc, "shingle")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "shingle", "df")
+      .select("id", "shingle", "df", "rn", "n")
       .transform(maybePersist)
   }
 
@@ -297,13 +297,45 @@ object Dedup {
       if (usePrefix) prefixPostings(inverted, dfc, threshold)
       else inverted.join(dfc, "shingle").select("id", "shingle", "df")
     // rare path: filter to in-cap shingles BEFORE collecting, so no
-    // aggregation buffer ever exceeds maxDf ids
-    val rareLists = pre.where(col("df") <= maxDf && col("df") >= 2)
-      .groupBy("shingle").agg(collect_list("id").as("ids"))
-    val cand = rareLists
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+    // aggregation buffer ever exceeds maxDf entries
+    val rare = pre.where(col("df") <= maxDf && col("df") >= 2)
+    val cand =
+      if (usePrefix) {
+        // PPJoin POSITIONAL filter (lossless, prefix plan only — the
+        // full plan has no rank column): a candidate survives iff SOME
+        // generating shingle admits the overlap upper bound
+        //   1 + min(n_a - rn_a, n_b - rn_b) >= floor(t*(n_a+n_b)/(1+t))
+        // where rn is the shingle's 1-based position in the doc's
+        // full (df asc, shingle unsigned asc) order and n the doc's
+        // shingle count. Lossless: for a TRUE pair (jaccard >= t),
+        // every shared shingle sorts at or after the pair's RAREST
+        // shared shingle s in both docs, so at s the bound counts all
+        // shared elements — 1 + min(...) >= overlap >= the floor()
+        // requirement (same conservative floor as jaccardSortedMin) —
+        // and s is in-cap and in both prefixes whenever the rare path
+        // emits the pair at all (the down-set argument above), so the
+        // pair is generated AT s and passes there. Pairs pruned here
+        // provably fail the exact verify, so the emitted set is
+        // unchanged (pinned by the brute-force and prefix==full
+        // OpsSpec properties); what it buys is a smaller pair-dedup
+        // shuffle and fewer verify-join merges.
+        val lists = rare.groupBy("shingle")
+          .agg(collect_list(struct(col("id"), col("rn"), col("n"))).as("ps"))
+        val need = floor(lit(threshold) * (col("a.n") + col("b.n")) /
+          lit(1.0 + threshold))
+        lists
+          .select(explode(col("ps")).as("a"), col("ps"))
+          .select(col("a"), explode(col("ps")).as("b"))
+          .where(col("a.id") < col("b.id") &&
+            lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= need)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      } else {
+        val lists = rare.groupBy("shingle").agg(collect_list("id").as("ids"))
+        lists
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .where(col("id_a") < col("id_b"))
+      }
     // over-df recovery: star from the shingle's min id to its first
     // maxDf FULL-posting ids — windowed (sort-based, spillable), never
     // a collect_list of an unbounded posting list; built from the full

@@ -47,6 +47,29 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - expect) < 1e-9)
   }
 
+  test("positional filter: pair at EXACTLY the threshold survives the prefix plan") {
+    // the PPJoin positional bound uses the same conservative floor()
+    // as jaccardSortedMin: a pair whose jaccard equals the threshold
+    // exactly sits on the filter's >= boundary and must be emitted;
+    // nudging the threshold just above the pair's jaccard must drop
+    // it (now via the verify, with the filter free to prune earlier)
+    val a = "abcdefghij"
+    val b = "abcdefghiX" // 6 5-gram shingles each, 5 shared -> j = 5/7
+    val setA = Dedup.shingleHashes(a, 5).toSet
+    val setB = Dedup.shingleHashes(b, 5).toSet
+    val inter = setA.intersect(setB).size
+    val j = inter.toDouble / (setA.size + setB.size - inter)
+    val d = docs((1L, a), (2L, b))
+    val at = Dedup.ngramJaccardPairs(d, threshold = j, maxDf = 10,
+        prefixMinDocs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(at.toSeq == Seq((1L, 2L)), s"boundary pair must survive: ${at.toSeq}")
+    val above = Dedup.ngramJaccardPairs(d, threshold = Math.nextUp(j),
+        maxDf = 10, prefixMinDocs = 0)
+      .collect()
+    assert(above.isEmpty, "pair above its jaccard must not be emitted")
+  }
+
   test("PROPERTY: threshold early-exit jaccard is exact on the emitted side") {
     // jaccardSortedMin must (a) return the EXACT jaccard whenever the
     // true value is >= t (the early exit is unreachable there), and
